@@ -1,0 +1,396 @@
+"""Tower encoders: ID embedding + feature MLP + fusion, as pure functions.
+
+Capability parity with the reference encoder stack
+(``src/models/encoders.py:19-331``) re-designed for TPU/XLA:
+
+- parameters are plain pytrees (nested dicts of ``jnp`` arrays), no module
+  objects, so ``jax.jit`` / ``pjit`` can shard and donate them freely;
+- the tower forward takes *gathered* embedding rows (``id_rows``) instead of
+  indices — the caller owns the gather, which lets the training step
+  differentiate w.r.t. only the touched rows (sparse-row optimizer), and
+  lets the gather itself be ``jnp.take``, a Pallas kernel, or a sharded
+  all-to-all lookup without touching the model code;
+- supported fusions: identity / sum / concat(+projection) / gated
+  (σ-gate blend, ``encoders.py:149-168``); ``adaptive_mimic`` is accepted
+  as a deprecated alias for gated (``encoders.py:195-201``);
+- bare ``type: embedding`` towers (``encoders.py:271-287``) are towers with
+  no feature encoder;
+- feature encoders: identity / linear / MLP(hidden_dims, activation,
+  dropout) with xavier-uniform weight init (``encoders.py:102-146``).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "tanh": jnp.tanh,
+    "selu": jax.nn.selu,
+}
+
+
+# ---------------------------------------------------------------------------
+# Configs (static, hashable -> safe to close over in jit)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EmbeddingConfig:
+    dim: int = 64
+    sparse: bool = False
+    padding_idx: int | None = None
+    max_norm: float | None = None
+    init_type: str = "normal"
+    init_std: float = 0.02
+    init_bound: float = 0.1
+
+    def __post_init__(self) -> None:
+        if self.sparse and self.max_norm is not None:
+            raise ValueError("max_norm is not supported when using sparse embeddings.")
+
+
+@dataclass(frozen=True)
+class FeatureEncoderConfig:
+    type: str = "linear"
+    output_dim: int | None = None
+    hidden_dims: tuple[int, ...] = ()
+    activation: str = "relu"
+    dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class TowerConfig:
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+    feature_encoder: FeatureEncoderConfig | None = None
+    fusion: str = "identity"
+    output_dim: int = 0  # resolved final output dim
+    feature_dim: int = 0  # input feature width (0 => id-only tower)
+    gate_hidden_dim: int | None = None
+
+
+def _parse_embedding_config(cfg: Mapping[str, Any] | None) -> EmbeddingConfig:
+    cfg = cfg or {}
+    params = cfg.get("params", {}) or {}
+    init = cfg.get("init", {}) or {}
+    return EmbeddingConfig(
+        dim=int(params.get("embedding_dim", 64)),
+        sparse=bool(params.get("sparse", False)),
+        padding_idx=params.get("padding_idx"),
+        max_norm=params.get("max_norm"),
+        init_type=str(init.get("type", "normal")).lower(),
+        init_std=float(init.get("std", 0.02)),
+        init_bound=float(init.get("bound", 0.1)),
+    )
+
+
+def parse_tower_config(
+    config: Mapping[str, Any] | None, *, feature_dim: int
+) -> TowerConfig:
+    """Resolve a YAML tower section into a static TowerConfig.
+
+    Mirrors ``build_tower_encoder``'s resolution rules
+    (``src/models/encoders.py:258-331``): fusion defaults to gated when
+    features exist, feature towers with no features degrade to identity,
+    sum/gated require matching dims, concat gets a projection.
+    """
+    cfg = dict(config or {})
+    encoder_type = str(cfg.get("type", "tower")).lower()
+    if encoder_type not in {"tower", "embedding"}:
+        raise ValueError(f"Unsupported encoder type: {encoder_type}")
+
+    if encoder_type == "embedding":
+        emb = _parse_embedding_config({"params": cfg.get("params", {}), "init": cfg.get("init")})
+        return TowerConfig(
+            embedding=emb,
+            feature_encoder=None,
+            fusion="identity",
+            output_dim=emb.dim,
+            feature_dim=0,
+        )
+
+    emb = _parse_embedding_config(cfg.get("id_embedding", {}))
+    fusion = str(cfg.get("fusion", "gated" if feature_dim > 0 else "identity")).lower()
+    if fusion == "adaptive_mimic":
+        warnings.warn(
+            "fusion='adaptive_mimic' is deprecated; use fusion='gated' instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        fusion = "gated"
+    if fusion not in {"identity", "sum", "concat", "gated"}:
+        raise ValueError(f"Unsupported fusion strategy: {fusion}")
+
+    fe_cfg_raw = cfg.get("feature_encoder")
+    feature_encoder: FeatureEncoderConfig | None = None
+    if feature_dim > 0:
+        fe = dict(fe_cfg_raw or {})
+        feature_encoder = FeatureEncoderConfig(
+            type=str(fe.get("type", "linear")).lower(),
+            output_dim=(
+                int(fe["output_dim"]) if fe.get("output_dim") is not None else None
+            ),
+            hidden_dims=tuple(int(h) for h in (fe.get("hidden_dims") or ())),
+            activation=str(fe.get("activation", "relu")).lower(),
+            dropout=float(fe.get("dropout", 0.0)),
+        )
+        fe_out = feature_encoder.output_dim or emb.dim
+        if feature_encoder.type == "identity" and feature_dim != fe_out:
+            raise ValueError(
+                "Identity feature encoder requires input_dim == output_dim."
+            )
+        if fusion in {"sum", "gated"} and fe_out != emb.dim:
+            raise ValueError(
+                "Feature encoder output dimension must equal embedding dimension "
+                "for 'sum' or 'gated' fusion."
+            )
+
+    if feature_encoder is None:
+        fusion = "identity"
+
+    if fusion == "concat" and feature_encoder is not None:
+        fe_out = feature_encoder.output_dim or emb.dim
+        output_dim = int(cfg.get("output_dim") or (emb.dim + fe_out))
+    else:
+        output_dim = emb.dim
+
+    gate_hidden = None
+    if fusion == "gated":
+        mimic_cfg = cfg.get("adaptive_mimic", {}) or {}
+        gate_hidden = mimic_cfg.get("hidden_dim")
+        gate_hidden = int(gate_hidden) if gate_hidden is not None else None
+
+    return TowerConfig(
+        embedding=emb,
+        feature_encoder=feature_encoder,
+        fusion=fusion,
+        output_dim=output_dim,
+        feature_dim=int(feature_dim),
+        gate_hidden_dim=gate_hidden,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+
+def init_embedding_table(
+    key: jax.Array,
+    cfg: EmbeddingConfig,
+    *,
+    num_embeddings: int,
+    extra_rows: int = 0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Initialise an embedding table.
+
+    ``extra_rows`` appends scratch rows (used as scatter-padding targets by
+    the sparse-row optimizer); they are initialised to zero and never read.
+    Init types mirror ``_init_embedding`` (``encoders.py:19-36``).
+    """
+    shape = (num_embeddings, cfg.dim)
+    if cfg.init_type == "normal":
+        table = jax.random.normal(key, shape, dtype) * cfg.init_std
+    elif cfg.init_type == "uniform":
+        table = jax.random.uniform(
+            key, shape, dtype, minval=-cfg.init_bound, maxval=cfg.init_bound
+        )
+    elif cfg.init_type in {"xavier_normal", "xavier_uniform"}:
+        fan_in, fan_out = shape[0], shape[1]
+        scale = float(np.sqrt(2.0 / (fan_in + fan_out)))
+        if cfg.init_type == "xavier_normal":
+            table = jax.random.normal(key, shape, dtype) * scale
+        else:
+            bound = float(np.sqrt(3.0)) * scale
+            table = jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    else:
+        raise ValueError(f"Unsupported embedding init type: {cfg.init_type}")
+
+    if cfg.padding_idx is not None:
+        table = table.at[int(cfg.padding_idx)].set(0.0)
+    if extra_rows:
+        table = jnp.concatenate(
+            [table, jnp.zeros((extra_rows, cfg.dim), dtype)], axis=0
+        )
+    return table
+
+
+def _init_linear(
+    key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32
+) -> Params:
+    """Xavier-uniform weights + torch-style uniform bias (±1/sqrt(fan_in))."""
+    wkey, bkey = jax.random.split(key)
+    bound_w = float(np.sqrt(6.0 / (in_dim + out_dim)))
+    w = jax.random.uniform(wkey, (in_dim, out_dim), dtype, -bound_w, bound_w)
+    bound_b = 1.0 / float(np.sqrt(in_dim)) if in_dim > 0 else 0.0
+    b = jax.random.uniform(bkey, (out_dim,), dtype, -bound_b, bound_b)
+    return {"w": w, "b": b}
+
+
+def init_tower(
+    key: jax.Array,
+    cfg: TowerConfig,
+    *,
+    num_embeddings: int,
+    table_extra_rows: int = 0,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, Params]:
+    """Initialise (embedding_table, dense_params) for a tower.
+
+    The table is returned separately from the dense params so callers can
+    place it in the sparse/sharded part of the train state.
+    """
+    keys = jax.random.split(key, 8)
+    table = init_embedding_table(
+        keys[0],
+        cfg.embedding,
+        num_embeddings=num_embeddings,
+        extra_rows=table_extra_rows,
+        dtype=dtype,
+    )
+
+    dense: Params = {}
+    fe = cfg.feature_encoder
+    if fe is not None and cfg.feature_dim > 0:
+        out_dim = fe.output_dim or cfg.embedding.dim
+        if fe.type == "identity":
+            dense["feature_encoder"] = {"layers": []}
+        elif fe.type == "linear":
+            dense["feature_encoder"] = {
+                "layers": [_init_linear(keys[1], cfg.feature_dim, out_dim, dtype)]
+            }
+        elif fe.type == "mlp":
+            layers = []
+            prev = cfg.feature_dim
+            lkeys = jax.random.split(keys[1], len(fe.hidden_dims) + 1)
+            for i, hidden in enumerate(fe.hidden_dims):
+                layers.append(_init_linear(lkeys[i], prev, hidden, dtype))
+                prev = hidden
+            layers.append(_init_linear(lkeys[-1], prev, out_dim, dtype))
+            dense["feature_encoder"] = {"layers": layers}
+        else:
+            raise ValueError(f"Unsupported feature encoder type: {fe.type}")
+
+    if cfg.fusion == "gated":
+        dim = cfg.embedding.dim
+        hidden = cfg.gate_hidden_dim or dim
+        dense["gate"] = {
+            "fc1": _init_linear(keys[2], dim * 2, hidden, dtype),
+            "fc2": _init_linear(keys[3], hidden, dim, dtype),
+        }
+    if cfg.fusion == "concat" and fe is not None:
+        fe_out = fe.output_dim or cfg.embedding.dim
+        dense["projection"] = _init_linear(
+            keys[4], cfg.embedding.dim + fe_out, cfg.output_dim, dtype
+        )
+    return table, dense
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _apply_mlp(
+    layers: list[Params],
+    x: jax.Array,
+    *,
+    activation: str,
+    dropout: float,
+    train: bool,
+    dropout_rng: jax.Array | None,
+) -> jax.Array:
+    """Linear stack with activation+dropout after each hidden layer."""
+    act = _ACTIVATIONS[activation]
+    n = len(layers)
+    for i, layer in enumerate(layers):
+        x = x @ layer["w"] + layer["b"]
+        if i < n - 1:
+            x = act(x)
+            if train and dropout > 0.0 and dropout_rng is not None:
+                dropout_rng = jax.random.fold_in(dropout_rng, i)
+                keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    return x
+
+
+def apply_feature_encoder(
+    dense: Params,
+    cfg: TowerConfig,
+    features: jax.Array,
+    *,
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    fe = cfg.feature_encoder
+    assert fe is not None
+    layers = dense["feature_encoder"]["layers"]
+    if fe.type == "identity" or not layers:
+        return features
+    return _apply_mlp(
+        layers,
+        features,
+        activation=fe.activation,
+        dropout=fe.dropout,
+        train=train,
+        dropout_rng=dropout_rng,
+    )
+
+
+def apply_gate(dense: Params, id_repr: jax.Array, feat_repr: jax.Array) -> jax.Array:
+    """σ-gate blend: ``g*id + (1-g)*feat`` with g = σ(MLP([id;feat]))
+    (``encoders.py:164-168``)."""
+    gate_params = dense["gate"]
+    h = jnp.concatenate([id_repr, feat_repr], axis=-1)
+    h = jax.nn.relu(h @ gate_params["fc1"]["w"] + gate_params["fc1"]["b"])
+    gate = jax.nn.sigmoid(h @ gate_params["fc2"]["w"] + gate_params["fc2"]["b"])
+    return gate * id_repr + (1.0 - gate) * feat_repr
+
+
+def tower_forward(
+    dense: Params,
+    cfg: TowerConfig,
+    id_rows: jax.Array,
+    features: jax.Array | None = None,
+    *,
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """Tower forward from already-gathered embedding rows.
+
+    Mirrors ``TowerEncoder.forward`` (``encoders.py:221-255``) including the
+    fallback to id-only behaviour when features are unavailable at runtime.
+    """
+    if cfg.embedding.max_norm is not None:
+        # Functional analog of torch's max_norm renorm-on-lookup: clamp row
+        # norms of the *gathered* rows (the table itself is not mutated).
+        norms = jnp.linalg.norm(id_rows, axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, cfg.embedding.max_norm / jnp.maximum(norms, 1e-12))
+        id_rows = id_rows * scale
+
+    if cfg.fusion == "identity" or cfg.feature_encoder is None or features is None:
+        return id_rows
+
+    feat_repr = apply_feature_encoder(
+        dense, cfg, features, train=train, dropout_rng=dropout_rng
+    )
+
+    if cfg.fusion == "sum":
+        return id_rows + feat_repr
+    if cfg.fusion == "concat":
+        proj = dense["projection"]
+        combined = jnp.concatenate([id_rows, feat_repr], axis=-1)
+        return combined @ proj["w"] + proj["b"]
+    if cfg.fusion == "gated":
+        return apply_gate(dense, id_rows, feat_repr)
+    return id_rows

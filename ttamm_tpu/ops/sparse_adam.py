@@ -1,0 +1,112 @@
+"""Sparse-row Adam: SparseAdam-semantics updates for embedding tables.
+
+TPU-native re-creation of ``torch.optim.SparseAdam`` as used by the
+reference for ``sparse=True`` embedding tables (``training.py:1341-1346``):
+
+- only rows that received gradients this step are updated;
+- duplicate indices are coalesced (gradients summed) before the update;
+- first/second moments are per-row and persist in table-shaped buffers;
+- bias correction uses a single global step count;
+- no weight decay.
+
+The dense-grad trap is avoided by construction: the training step gathers
+rows *outside* the differentiated function, so gradients arrive as
+``(indices [N], row_grads [N, D])`` pairs — never table-shaped zeros.
+
+XLA-friendly duplicate coalescing with static shapes:
+
+1. sort indices; 2. segment-sum sorted grads into their first occurrence
+slot; 3. lanes that are not a segment head scatter into a dedicated scratch
+row (the table's last row, allocated by ``init_model(table_extra_rows=1)``)
+so they become harmless no-ops instead of racing writers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SparseAdamState(NamedTuple):
+    m: jax.Array  # [rows, dim] first moment (same row count as the table)
+    v: jax.Array  # [rows, dim] second moment
+    step: jax.Array  # scalar int32 global step
+
+
+def init_sparse_adam(table: jax.Array) -> SparseAdamState:
+    return SparseAdamState(
+        m=jnp.zeros_like(table),
+        v=jnp.zeros_like(table),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def coalesce_row_grads(
+    indices: jax.Array, row_grads: jax.Array, *, scratch_row: int
+) -> tuple[jax.Array, jax.Array]:
+    """Sum duplicate-index row gradients.
+
+    Returns ``(target_rows [N], summed_grads [N, D])`` where segment-head
+    lanes carry the coalesced gradient for their row and every other lane
+    targets ``scratch_row`` with an arbitrary payload.
+    """
+    n = indices.shape[0]
+    order = jnp.argsort(indices)
+    sorted_idx = indices[order]
+    sorted_grads = row_grads[order]
+
+    prev = jnp.concatenate([jnp.array([-1], sorted_idx.dtype), sorted_idx[:-1]])
+    is_head = sorted_idx != prev
+    segment_ids = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(sorted_grads, segment_ids, num_segments=n)
+
+    head_pos = jnp.where(
+        is_head, jnp.arange(n, dtype=jnp.int32), jnp.int32(n - 1)
+    )
+    # Place each segment's sum at its head lane; non-head lanes get scratch.
+    grads_at_heads = summed[segment_ids]  # value valid only on head lanes
+    target_rows = jnp.where(is_head, sorted_idx, jnp.int32(scratch_row))
+    del head_pos
+    return target_rows, jnp.where(is_head[:, None], grads_at_heads, 0.0)
+
+
+def sparse_adam_update(
+    table: jax.Array,
+    state: SparseAdamState,
+    indices: jax.Array,
+    row_grads: jax.Array,
+    *,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> tuple[jax.Array, SparseAdamState]:
+    """Apply one SparseAdam step for the touched rows.
+
+    ``table``/``state`` must include the scratch row (last row) appended by
+    ``init_model``; it absorbs the writes from coalesced-duplicate lanes.
+    """
+    scratch_row = table.shape[0] - 1
+    step = state.step + 1
+
+    target_rows, grads = coalesce_row_grads(
+        indices.astype(jnp.int32), row_grads, scratch_row=scratch_row
+    )
+
+    m_rows = state.m[target_rows]
+    v_rows = state.v[target_rows]
+    m_new = b1 * m_rows + (1.0 - b1) * grads
+    v_new = b2 * v_rows + (1.0 - b2) * jnp.square(grads)
+
+    t = step.astype(jnp.float32)
+    m_hat = m_new / (1.0 - jnp.power(b1, t))
+    v_hat = v_new / (1.0 - jnp.power(b2, t))
+    delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+    w_rows = table[target_rows]
+    new_table = table.at[target_rows].set(w_rows - delta, unique_indices=False)
+    new_m = state.m.at[target_rows].set(m_new, unique_indices=False)
+    new_v = state.v.at[target_rows].set(v_new, unique_indices=False)
+    return new_table, SparseAdamState(m=new_m, v=new_v, step=step)

@@ -1,0 +1,350 @@
+"""Compiled training and evaluation steps.
+
+The reference's hot loop (``_train_one_epoch``, ref ``training.py:700-833``)
+becomes ONE jit-compiled function per batch shape: on-device negative
+sampling -> embedding gathers -> tower forwards (single fused pass over
+positives+negatives) -> mimic -> BCE + mimic + category-alignment losses ->
+grad -> hybrid dense/sparse-row optimizer updates. No host round-trips
+inside the epoch except batch index slicing.
+
+Loss math parity notes:
+
+- training logits are always dot products regardless of ``model.similarity``
+  (ref ``training.py:770-787`` — cosine only affects eval paths);
+- mimic targets are the *base* (pre-augmentation) opposite-tower embeddings
+  (ref ``training.py:749-763``);
+- negatives get mimic augmentation but no mimic loss (ref ``:777-780``);
+- the category-alignment loss sees the augmented pos+neg item embeddings
+  (ref ``:805-820``);
+- eval loss (``_compute_loss``, ref ``:836-914``) is the same stack without
+  dropout, mimic-loss terms, or the alignment term.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.encoders import tower_forward
+from ..models.two_tower import ModelConfig
+from ..ops.losses import bce_with_logits, category_alignment_loss
+from ..ops.sampling import sample_negative_items
+from ..ops.sparse_adam import sparse_adam_update
+from .optim import DenseOptConfig, dense_opt_update
+from .state import BatchData, TrainState, dense_table_names, sparse_table_names
+
+Params = dict[str, Any]
+
+
+class TrainStepConfig(NamedTuple):
+    num_items: int
+    negatives_per_positive: int = 5
+    lambda_mimic_user: float = 0.0
+    lambda_mimic_item: float = 0.0
+    lambda_category_alignment: float = 0.0
+    gradient_clip_norm: float | None = None
+    cal_max_categories: int = 64
+    sampling_rounds: int = 8
+    opt: DenseOptConfig = DenseOptConfig()
+
+
+def _gather_opt(features: jax.Array | None, idx: jax.Array) -> jax.Array | None:
+    if features is None or features.size == 0:
+        return None
+    return jnp.take(features, idx, axis=0)
+
+
+def _forward_embeddings(
+    cfg: ModelConfig,
+    tscfg: TrainStepConfig,
+    dense: Params,
+    tables_all: Params,
+    data: BatchData,
+    u_idx: jax.Array,
+    pos_idx: jax.Array,
+    neg_idx_flat: jax.Array,
+    user_rows: jax.Array,
+    item_rows_all: jax.Array,
+    *,
+    train: bool,
+    dropout_rng: jax.Array | None,
+):
+    """Shared forward producing (user_emb, pos_emb, neg_emb, mimic losses).
+
+    ``tables_all`` must contain the mimic tables (when enabled);
+    ``user_rows`` / ``item_rows_all`` are the already-gathered ID rows
+    (items ordered [positives; negatives]).
+    """
+    batch = pos_idx.shape[0]
+    num_neg = tscfg.negatives_per_positive
+    rng_u = rng_i = None
+    if dropout_rng is not None:
+        rng_u, rng_i = jax.random.split(dropout_rng)
+
+    item_idx_all = jnp.concatenate([pos_idx, neg_idx_flat])
+    user_feats = _gather_opt(data.user_features, u_idx)
+    item_feats_all = _gather_opt(data.item_features, item_idx_all)
+
+    user_base = tower_forward(
+        dense["user_tower"], cfg.user_tower, user_rows, user_feats,
+        train=train, dropout_rng=rng_u,
+    )
+    item_base_all = tower_forward(
+        dense["item_tower"], cfg.item_tower, item_rows_all, item_feats_all,
+        train=train, dropout_rng=rng_i,
+    )
+    pos_base = item_base_all[:batch]
+    neg_base = item_base_all[batch:]
+
+    mimic_user_loss = mimic_item_loss = jnp.zeros(())
+    if cfg.mimic_enabled:
+        user_aug = jnp.take(tables_all["user_aug"], u_idx, axis=0)
+        item_aug_all = jnp.take(tables_all["item_aug"], item_idx_all, axis=0)
+        pos_aug = item_aug_all[:batch]
+        neg_aug = item_aug_all[batch:]
+        user_emb = user_base + user_aug
+        pos_emb = pos_base + pos_aug
+        neg_emb = neg_base + neg_aug
+        mimic_user_loss = jnp.mean(
+            jnp.square(user_aug - jax.lax.stop_gradient(pos_base))
+        )
+        mimic_item_loss = jnp.mean(
+            jnp.square(pos_aug - jax.lax.stop_gradient(user_base))
+        )
+    else:
+        user_emb, pos_emb, neg_emb = user_base, pos_base, neg_base
+
+    neg_emb = neg_emb.reshape(batch, num_neg, -1)
+    return user_emb, pos_emb, neg_emb, mimic_user_loss, mimic_item_loss
+
+
+def _retrieval_logits(user_emb, pos_emb, neg_emb):
+    pos_logits = jnp.sum(user_emb * pos_emb, axis=-1)
+    neg_logits = jnp.einsum("bd,bnd->bn", user_emb, neg_emb)
+    return pos_logits, neg_logits
+
+
+def _bce_stack(pos_logits, neg_logits):
+    logits = jnp.concatenate([pos_logits, neg_logits.reshape(-1)])
+    labels = jnp.concatenate(
+        [jnp.ones_like(pos_logits), jnp.zeros_like(neg_logits.reshape(-1))]
+    )
+    return bce_with_logits(logits, labels)
+
+
+def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
+    """Build the jitted train step ``(state, data, u_idx, pos_idx, rng) ->
+    (state, metrics)``."""
+    sparse_names = sparse_table_names(cfg)
+    dense_tbl_names = dense_table_names(cfg)
+    sparse_lr = tscfg.opt.lr
+    b1, b2 = tscfg.opt.b1, tscfg.opt.b2
+
+    def loss_fn(diff, data, u_idx, pos_idx, neg_idx_flat, dropout_rng):
+        dense = diff["dense"]
+        dtables = diff["tables"]
+        srows = diff["sparse_rows"]
+
+        if "user_id" in sparse_names:
+            user_rows = srows["user_id"]
+        else:
+            user_rows = jnp.take(dtables["user_id"], u_idx, axis=0)
+        if "item_id" in sparse_names:
+            item_rows_all = srows["item_id"]
+        else:
+            item_idx_all = jnp.concatenate([pos_idx, neg_idx_flat])
+            item_rows_all = jnp.take(dtables["item_id"], item_idx_all, axis=0)
+
+        user_emb, pos_emb, neg_emb, mu_loss, mi_loss = _forward_embeddings(
+            cfg, tscfg, dense, dtables, data,
+            u_idx, pos_idx, neg_idx_flat, user_rows, item_rows_all,
+            train=True, dropout_rng=dropout_rng,
+        )
+        pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
+        retrieval_loss = _bce_stack(pos_logits, neg_logits)
+
+        total = retrieval_loss
+        if cfg.mimic_enabled and tscfg.lambda_mimic_user > 0:
+            total = total + tscfg.lambda_mimic_user * mu_loss
+        if cfg.mimic_enabled and tscfg.lambda_mimic_item > 0:
+            total = total + tscfg.lambda_mimic_item * mi_loss
+
+        cal_loss = jnp.zeros(())
+        if tscfg.lambda_category_alignment > 0 and data.category_ids is not None:
+            item_idx_all = jnp.concatenate([pos_idx, neg_idx_flat])
+            cats = jnp.take(data.category_ids, item_idx_all)
+            embs = jnp.concatenate(
+                [pos_emb, neg_emb.reshape(-1, pos_emb.shape[-1])], axis=0
+            )
+            cal_loss = category_alignment_loss(
+                cats, embs, max_categories=tscfg.cal_max_categories
+            )
+            total = total + tscfg.lambda_category_alignment * cal_loss
+
+        aux = {
+            "retrieval_loss": retrieval_loss,
+            "mimic_user_loss": mu_loss,
+            "mimic_item_loss": mi_loss,
+            "category_alignment_loss": cal_loss,
+        }
+        return total, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_step(state: TrainState, data: BatchData, u_idx, pos_idx, rng):
+        rng_neg, rng_drop = jax.random.split(rng)
+        user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
+        neg = sample_negative_items(
+            rng_neg,
+            user_pos,
+            num_items=tscfg.num_items,
+            num_negatives=tscfg.negatives_per_positive,
+            num_rounds=tscfg.sampling_rounds,
+        )
+        neg_flat = neg.reshape(-1)
+        item_idx_all = jnp.concatenate([pos_idx, neg_flat])
+
+        diff = {
+            "dense": state.dense,
+            "tables": {n: state.tables[n] for n in dense_tbl_names},
+            "sparse_rows": {},
+        }
+        if "user_id" in sparse_names:
+            diff["sparse_rows"]["user_id"] = jnp.take(
+                state.tables["user_id"], u_idx, axis=0
+            )
+        if "item_id" in sparse_names:
+            diff["sparse_rows"]["item_id"] = jnp.take(
+                state.tables["item_id"], item_idx_all, axis=0
+            )
+
+        (total_loss, aux), grads = grad_fn(
+            diff, data, u_idx, pos_idx, neg_flat, rng_drop
+        )
+
+        if tscfg.gradient_clip_norm is not None and tscfg.gradient_clip_norm > 0:
+            # Global-norm clip over ALL grads (dense + sparse rows), matching
+            # clip_grad_norm_(model.parameters()) (ref training.py:824-825).
+            leaves = jax.tree.leaves(grads)
+            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+            scale = jnp.minimum(1.0, tscfg.gradient_clip_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        dense_target = {"dense": state.dense,
+                        "tables": {n: state.tables[n] for n in dense_tbl_names}}
+        dense_grads = {"dense": grads["dense"], "tables": grads["tables"]}
+        new_dense_target, new_opt_dense = dense_opt_update(
+            dense_target, dense_grads, state.opt_dense, tscfg.opt
+        )
+
+        new_tables = dict(state.tables)
+        for name in dense_tbl_names:
+            new_tables[name] = new_dense_target["tables"][name]
+
+        new_opt_sparse = dict(state.opt_sparse)
+        if "user_id" in sparse_names:
+            new_tables["user_id"], new_opt_sparse["user_id"] = sparse_adam_update(
+                state.tables["user_id"],
+                state.opt_sparse["user_id"],
+                u_idx,
+                grads["sparse_rows"]["user_id"],
+                lr=sparse_lr, b1=b1, b2=b2,
+            )
+        if "item_id" in sparse_names:
+            new_tables["item_id"], new_opt_sparse["item_id"] = sparse_adam_update(
+                state.tables["item_id"],
+                state.opt_sparse["item_id"],
+                item_idx_all,
+                grads["sparse_rows"]["item_id"],
+                lr=sparse_lr, b1=b1, b2=b2,
+            )
+
+        new_state = TrainState(
+            tables=new_tables,
+            dense=new_dense_target["dense"],
+            opt_dense=new_opt_dense,
+            opt_sparse=new_opt_sparse,
+            step=state.step + 1,
+        )
+        metrics = {"loss": total_loss, **aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
+    """Build the jitted eval-loss step: plain BCE on the [pos; sampled-neg]
+    stack, no dropout, no auxiliary loss terms (ref ``training.py:836-914``).
+    """
+
+    @jax.jit
+    def eval_loss_step(state: TrainState, data: BatchData, u_idx, pos_idx, rng):
+        user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
+        neg = sample_negative_items(
+            rng,
+            user_pos,
+            num_items=tscfg.num_items,
+            num_negatives=tscfg.negatives_per_positive,
+            num_rounds=tscfg.sampling_rounds,
+        )
+        neg_flat = neg.reshape(-1)
+        item_idx_all = jnp.concatenate([pos_idx, neg_flat])
+
+        user_rows = jnp.take(state.tables["user_id"], u_idx, axis=0)
+        item_rows_all = jnp.take(state.tables["item_id"], item_idx_all, axis=0)
+        user_emb, pos_emb, neg_emb, _, _ = _forward_embeddings(
+            cfg, tscfg, state.dense, state.tables, data,
+            u_idx, pos_idx, neg_flat, user_rows, item_rows_all,
+            train=False, dropout_rng=None,
+        )
+        pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
+        return _bce_stack(pos_logits, neg_logits)
+
+    return eval_loss_step
+
+
+@partial(jax.jit, static_argnames=("cfg", "side", "num_rows", "chunk_size", "augment"))
+def encode_corpus(
+    state: TrainState,
+    data: BatchData,
+    cfg: ModelConfig,
+    side: str,
+    *,
+    num_rows: int,
+    chunk_size: int = 65536,
+    augment: bool = True,
+) -> jax.Array:
+    """Encode every user or item through its tower (+ mimic augmentation).
+
+    Replaces ``_encode_item_embeddings`` (ref ``training.py:613-643``) with a
+    device-resident ``lax.scan`` over fixed-size index chunks; the padded
+    tail is computed and sliced off (static shapes, no host loop).
+    """
+    table = state.tables[f"{side}_id"]
+    features = data.user_features if side == "user" else data.item_features
+    tower_cfg = cfg.user_tower if side == "user" else cfg.item_tower
+    dense = state.dense[f"{side}_tower"]
+    aug_table = (
+        state.tables.get(f"{side}_aug") if (augment and cfg.mimic_enabled) else None
+    )
+
+    chunk = min(chunk_size, max(num_rows, 1))
+    num_chunks = -(-num_rows // chunk)
+
+    def body(_, chunk_start):
+        idx = chunk_start + jnp.arange(chunk, dtype=jnp.int32)
+        idx = jnp.minimum(idx, num_rows - 1)  # clamp padded tail
+        rows = jnp.take(table, idx, axis=0)
+        feats = _gather_opt(features, idx)
+        emb = tower_forward(dense, tower_cfg, rows, feats, train=False)
+        if aug_table is not None:
+            emb = emb + jnp.take(aug_table, idx, axis=0)
+        return None, emb
+
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    _, chunks = jax.lax.scan(body, None, starts)
+    return chunks.reshape(num_chunks * chunk, -1)[:num_rows]
