@@ -1,0 +1,69 @@
+import jax
+import numpy as np
+import pytest
+
+from ttamm_tpu.models import parse_model_config
+from ttamm_tpu.train import create_train_state, load_checkpoint, save_checkpoint
+from ttamm_tpu.train.checkpoint import checkpoint_filename
+
+
+def _cfg():
+    return parse_model_config(
+        {
+            "user_encoder": {
+                "type": "tower",
+                "id_embedding": {"params": {"embedding_dim": 8, "sparse": True}},
+                "feature_encoder": {"type": "linear", "output_dim": 8},
+                "fusion": "gated",
+            },
+            "item_encoder": {
+                "type": "embedding",
+                "params": {"embedding_dim": 8},
+            },
+            "similarity": "dot",
+            "adaptive_mimic": {"enabled": True},
+        },
+        user_feature_dim=3,
+        item_feature_dim=0,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _cfg()
+    state = create_train_state(jax.random.key(0), cfg, num_users=5, num_items=6)
+    path = save_checkpoint(
+        tmp_path,
+        state,
+        experiment_name="exp",
+        epoch=3,
+        metric_name="recall@10",
+        metric_value=0.25,
+        template="{experiment}_{metric}_{value:.4f}_epoch{epoch}.pt",
+    )
+    assert path.name == "exp_recallat10_0.2500_epoch3.pt"
+
+    template = create_train_state(jax.random.key(1), cfg, num_users=5, num_items=6)
+    restored, meta = load_checkpoint(path, template)
+    assert meta["epoch"] == 3
+    assert meta["metric_value"] == 0.25
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_detected(tmp_path):
+    cfg = _cfg()
+    state = create_train_state(jax.random.key(0), cfg, num_users=5, num_items=6)
+    path = save_checkpoint(
+        tmp_path, state, experiment_name="exp", epoch=1,
+        metric_name="loss", metric_value=0.5,
+    )
+    other = create_train_state(jax.random.key(0), cfg, num_users=9, num_items=6)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, other)
+
+
+def test_filename_template_sanitises_metric():
+    name = checkpoint_filename(
+        None, experiment_name="e", metric_name="ndcg@5/x", metric_value=None, epoch=2
+    )
+    assert name == "e_ndcgat5_x_epoch2.pt"

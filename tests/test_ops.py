@@ -1,0 +1,144 @@
+"""Kernel-vs-reference numerics tests (SURVEY §4 test plan item c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttamm_tpu.ops import (
+    bce_with_logits,
+    category_alignment_loss,
+    coalesce_row_grads,
+    init_sparse_adam,
+    mips_topk,
+    sparse_adam_update,
+)
+
+
+def test_bce_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 2, 50).astype(np.float32)
+    labels = (rng.random(50) > 0.5).astype(np.float32)
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(labels)))
+    p = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    expected = -np.mean(labels * np.log(p) + (1 - labels) * np.log(1 - p))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_mips_topk_exact_vs_argsort():
+    rng = np.random.default_rng(1)
+    items = rng.normal(0, 1, (257, 16)).astype(np.float32)  # non-multiple of chunk
+    queries = rng.normal(0, 1, (9, 16)).astype(np.float32)
+    scores, idx = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=7, chunk_size=64
+    )
+    full = queries @ items.T
+    expected_idx = np.argsort(-full, axis=1)[:, :7]
+    assert np.array_equal(np.asarray(idx), expected_idx)
+    expected_scores = np.take_along_axis(full, expected_idx, axis=1)
+    assert np.allclose(np.asarray(scores), expected_scores, atol=1e-5)
+
+
+def test_mips_topk_mask_rows_excluded():
+    rng = np.random.default_rng(2)
+    items = rng.normal(0, 1, (40, 8)).astype(np.float32)
+    queries = rng.normal(0, 1, (3, 8)).astype(np.float32)
+    mask = np.array([[0, 1, 40, 40], [5, 40, 40, 40], [40, 40, 40, 40]], np.int32)
+    _, idx = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=10, chunk_size=16,
+        mask_rows=jnp.asarray(mask),
+    )
+    idx = np.asarray(idx)
+    assert 0 not in idx[0] and 1 not in idx[0]
+    assert 5 not in idx[1]
+
+
+def test_coalesce_row_grads_sums_duplicates():
+    idx = jnp.array([3, 1, 3, 3, 2], jnp.int32)
+    grads = jnp.arange(10, dtype=jnp.float32).reshape(5, 2)
+    targets, summed = coalesce_row_grads(idx, grads, scratch_row=99)
+    targets = np.asarray(targets)
+    summed = np.asarray(summed)
+    by_row = {}
+    for t, g in zip(targets, summed):
+        if t != 99:
+            by_row[int(t)] = g
+    assert np.allclose(by_row[1], [2, 3])
+    assert np.allclose(by_row[2], [8, 9])
+    assert np.allclose(by_row[3], np.array([0, 1]) + [4, 5] + np.array([6, 7]))
+
+
+def test_sparse_adam_matches_dense_adam_on_touched_rows():
+    """SparseAdam == Adam restricted to touched rows (coalesced grads)."""
+    rng = np.random.default_rng(3)
+    table = rng.normal(0, 1, (6, 4)).astype(np.float32)
+    table_p = np.concatenate([table, np.zeros((1, 4), np.float32)])  # scratch
+    state = init_sparse_adam(jnp.asarray(table_p))
+
+    idx = np.array([0, 2, 0], np.int32)
+    grads = rng.normal(0, 1, (3, 4)).astype(np.float32)
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+
+    new_table, new_state = sparse_adam_update(
+        jnp.asarray(table_p), state, jnp.asarray(idx), jnp.asarray(grads),
+        lr=lr, b1=b1, b2=b2, eps=eps,
+    )
+    new_table = np.asarray(new_table)
+
+    # Reference dense-math computation for rows 0 (coalesced) and 2.
+    for row, g in [(0, grads[0] + grads[2]), (2, grads[1])]:
+        m = (1 - b1) * g
+        v = (1 - b2) * g * g
+        m_hat = m / (1 - b1)
+        v_hat = v / (1 - b2)
+        expected = table[row] - lr * m_hat / (np.sqrt(v_hat) + eps)
+        assert np.allclose(new_table[row], expected, atol=1e-6), row
+
+    # Untouched rows unchanged.
+    for row in [1, 3, 4, 5]:
+        assert np.allclose(new_table[row], table[row])
+    assert int(new_state.step) == 1
+
+
+def test_sparse_adam_second_step_uses_moments():
+    table = jnp.zeros((3, 2))
+    state = init_sparse_adam(table)
+    idx = jnp.array([0], jnp.int32)
+    g = jnp.ones((1, 2))
+    t1, s1 = sparse_adam_update(table, state, idx, g, lr=0.1)
+    t2, s2 = sparse_adam_update(t1, s1, idx, g, lr=0.1)
+    # constant gradient: both steps move by ~lr
+    assert float(t2[0, 0]) == pytest.approx(-0.2, abs=1e-3)
+    assert int(s2.step) == 2
+
+
+def test_category_alignment_zero_when_single_category():
+    embs = jnp.asarray(np.random.default_rng(0).normal(0, 1, (10, 4)), jnp.float32)
+    cats = jnp.zeros((10,), jnp.int32)
+    loss = category_alignment_loss(cats, embs, max_categories=4)
+    assert float(loss) == 0.0
+
+
+def test_category_alignment_matches_numpy_reference():
+    rng = np.random.default_rng(4)
+    embs = rng.normal(0, 1, (30, 6)).astype(np.float32)
+    cats = rng.integers(0, 3, 30).astype(np.int32)
+
+    def np_cov(x):
+        if x.shape[0] <= 1:
+            return np.zeros((x.shape[1], x.shape[1]))
+        c = x - x.mean(0, keepdims=True)
+        return c.T @ c / (x.shape[0] - 1)
+
+    major = np_cov(embs[cats == 0])
+    total, compared = 0.0, 0
+    for c in [1, 2]:
+        members = embs[cats == c]
+        if members.shape[0] < 2:
+            continue
+        d = np_cov(members) - major
+        total += float((d * d).sum())
+        compared += 1
+    expected = total / compared
+    got = float(category_alignment_loss(jnp.asarray(cats), jnp.asarray(embs), max_categories=3))
+    assert got == pytest.approx(expected, rel=1e-4)

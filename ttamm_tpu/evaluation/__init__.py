@@ -1,0 +1,21 @@
+from .embeddings import (
+    analyze_item_neighbors,
+    compute_mimic_statistics,
+    summarize_embedding_norms,
+    summarize_user_alignment,
+)
+from .feature_correlation import compute_feature_correlations
+from .metrics import RankingMetrics, compute_ranking_metrics, per_user_metrics
+from .retrieval import evaluate_retrieval
+
+__all__ = [
+    "RankingMetrics",
+    "analyze_item_neighbors",
+    "compute_feature_correlations",
+    "compute_mimic_statistics",
+    "compute_ranking_metrics",
+    "evaluate_retrieval",
+    "per_user_metrics",
+    "summarize_embedding_norms",
+    "summarize_user_alignment",
+]

@@ -1,0 +1,130 @@
+"""Flat MIPS index artifact: the FAISS ``IndexFlatIP`` replacement.
+
+The reference persists a FAISS flat inner-product index plus a raw
+embedding matrix (``_save_faiss_artifacts``, ref ``training.py:682-697``;
+paths from ``configs/default.yaml:94-99``). Here the artifact is an open
+binary format (magic ``TTFLAT1``) holding the float32 embedding matrix and
+a normalize flag:
+
+    [8s magic][u32 version][u32 dim][u64 count][u8 normalized][pad 3][data]
+
+Search backends, fastest available first:
+
+1. on-device Pallas/XLA chunked MIPS (``ttamm_tpu.ops.topk``) when a TPU is
+   attached — used by eval and the query CLI;
+2. the native C++ searcher (``native/flat_index.cpp``) via ctypes — exact
+   multithreaded blocked top-k for host-side serving;
+3. a pure-numpy fallback.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+MAGIC = b"TTFLAT1\x00"
+VERSION = 1
+_HEADER = struct.Struct("<8sII Q B3x")
+
+
+@dataclass
+class FlatIndex:
+    """An exact inner-product index over a row matrix."""
+
+    embeddings: np.ndarray  # float32 [count, dim]
+    normalized: bool = False
+
+    @property
+    def dim(self) -> int:
+        return int(self.embeddings.shape[1])
+
+    def __len__(self) -> int:
+        return int(self.embeddings.shape[0])
+
+    def search(
+        self, queries: np.ndarray, k: int, *, backend: str = "auto"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k by inner product. Returns (scores [B,k], indices [B,k])."""
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if self.normalized:
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-12)
+        k = min(k, len(self))
+
+        if backend in ("auto", "native"):
+            try:
+                from .native_bridge import native_flat_search
+
+                result = native_flat_search(self.embeddings, queries, k)
+                if result is not None:
+                    return result
+            except Exception:
+                if backend == "native":
+                    raise
+        # numpy fallback: blocked exact search
+        return _numpy_search(self.embeddings, queries, k)
+
+    def save(self, path: Path | str) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        emb = np.ascontiguousarray(self.embeddings, dtype=np.float32)
+        with open(path, "wb") as handle:
+            handle.write(
+                _HEADER.pack(MAGIC, VERSION, emb.shape[1], emb.shape[0], int(self.normalized))
+            )
+            handle.write(emb.tobytes())
+
+    @classmethod
+    def load(cls, path: Path | str) -> "FlatIndex":
+        path = Path(path)
+        with open(path, "rb") as handle:
+            header = handle.read(_HEADER.size)
+            magic, version, dim, count, normalized = _HEADER.unpack(header)
+            if magic != MAGIC:
+                raise ValueError(f"{path} is not a TTFLAT index (bad magic).")
+            if version != VERSION:
+                raise ValueError(f"Unsupported TTFLAT version {version}.")
+            data = np.frombuffer(handle.read(count * dim * 4), dtype=np.float32)
+        return cls(
+            embeddings=data.reshape(count, dim).copy(), normalized=bool(normalized)
+        )
+
+
+def _numpy_search(
+    embeddings: np.ndarray, queries: np.ndarray, k: int, block: int = 65536
+) -> tuple[np.ndarray, np.ndarray]:
+    n = embeddings.shape[0]
+    b = queries.shape[0]
+    best_scores = np.full((b, k), -np.inf, dtype=np.float32)
+    best_idx = np.zeros((b, k), dtype=np.int64)
+    for start in range(0, n, block):
+        chunk = embeddings[start : start + block]
+        scores = queries @ chunk.T  # [b, block]
+        local_k = min(k, scores.shape[1])
+        part = np.argpartition(-scores, local_k - 1, axis=1)[:, :local_k]
+        part_scores = np.take_along_axis(scores, part, axis=1)
+        merged_scores = np.concatenate([best_scores, part_scores], axis=1)
+        merged_idx = np.concatenate([best_idx, part + start], axis=1)
+        sel = np.argpartition(-merged_scores, k - 1, axis=1)[:, :k]
+        best_scores = np.take_along_axis(merged_scores, sel, axis=1)
+        best_idx = np.take_along_axis(merged_idx, sel, axis=1)
+    order = np.argsort(-best_scores, axis=1)
+    return (
+        np.take_along_axis(best_scores, order, axis=1),
+        np.take_along_axis(best_idx, order, axis=1),
+    )
+
+
+def build_flat_index(embeddings: np.ndarray, *, normalize: bool = False) -> FlatIndex:
+    """Build an index, L2-normalising rows when ``normalize`` (cosine mode,
+    matching FAISS ``normalize_L2`` + ``IndexFlatIP``)."""
+    emb = np.ascontiguousarray(embeddings, dtype=np.float32)
+    if normalize:
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+    return FlatIndex(embeddings=emb, normalized=normalize)

@@ -1,0 +1,128 @@
+"""Checkpointing: save/restore the full TrainState with resume support.
+
+Capability parity with ``_save_checkpoint`` (ref ``training.py:150-182``)
+plus an actual resume path (the reference saves model+optimizer state but
+never loads it — SURVEY.md §5). Filename templating, best-only /
+per-epoch / keep-last modes match the reference config surface
+(``configs/default.yaml:84-88``).
+
+Format: a single ``.npz`` holding every pytree leaf under its
+tree-path-derived key, plus a JSON-encoded metadata entry (epoch, metric,
+timestamp). Device arrays are pulled host-side at save; restore re-creates
+the exact pytree structure from a template state (so restored arrays can be
+re-sharded by the caller's pjit placement).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from .state import TrainState
+
+
+def _flatten_with_keys(tree: Any) -> dict[str, np.ndarray]:
+    flat: dict[str, np.ndarray] = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def checkpoint_filename(
+    template: str | None,
+    *,
+    experiment_name: str,
+    metric_name: str | None,
+    metric_value: float | None,
+    epoch: int,
+) -> str:
+    """Reference-compatible filename templating (ref ``training.py:159-170``);
+    ``@`` and ``/`` in metric names are sanitised identically."""
+    safe_metric = (metric_name or "metric").replace("@", "at").replace("/", "_")
+    filename_template = template or "{experiment}_{metric}_epoch{epoch}.pt"
+    value = metric_value if metric_value is not None else 0.0
+    return filename_template.format(
+        experiment=experiment_name, metric=safe_metric, value=value, epoch=epoch
+    )
+
+
+def save_checkpoint(
+    directory: Path | str,
+    state: TrainState,
+    *,
+    experiment_name: str,
+    epoch: int,
+    metric_name: str | None,
+    metric_value: float | None,
+    template: str | None = None,
+) -> Path:
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    filename = checkpoint_filename(
+        template,
+        experiment_name=experiment_name,
+        metric_name=metric_name,
+        metric_value=metric_value,
+        epoch=epoch,
+    )
+    path = directory / filename
+
+    arrays = _flatten_with_keys(state)
+    meta = {
+        "epoch": epoch,
+        "metric_name": metric_name,
+        "metric_value": metric_value,
+        "timestamp": time.time(),
+        "format_version": 1,
+    }
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    with open(path, "wb") as handle:
+        np.savez(handle, **arrays)
+    return path
+
+
+def load_checkpoint(
+    path: Path | str, template_state: TrainState
+) -> tuple[TrainState, dict[str, Any]]:
+    """Restore a TrainState saved by :func:`save_checkpoint`.
+
+    ``template_state`` supplies the pytree structure (build it with
+    ``create_train_state`` from the same config); leaf values are replaced
+    by the checkpoint's arrays.
+    """
+    with np.load(path, allow_pickle=False) as blob:
+        meta = json.loads(bytes(blob["__meta__"]).decode("utf-8"))
+        flat_template = _flatten_with_keys(template_state)
+        missing = [k for k in flat_template if k not in blob]
+        if missing:
+            raise ValueError(
+                f"Checkpoint {path} is missing {len(missing)} leaves "
+                f"(first: {missing[:3]}); was it saved with a different config?"
+            )
+        leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(
+            template_state
+        )
+        new_leaves = []
+        for pth, leaf in leaves_with_paths:
+            key = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+                for p in pth
+            )
+            arr = blob[key]
+            if arr.shape != tuple(np.shape(leaf)):
+                raise ValueError(
+                    f"Shape mismatch for '{key}': checkpoint {arr.shape} vs "
+                    f"state {np.shape(leaf)}"
+                )
+            new_leaves.append(arr)
+        state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return state, meta
