@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Throughput benchmark: training examples/s/chip + top-K queries/s.
+
+Runs the flagship configuration (128-dim gated feature towers + adaptive
+mimic + category alignment, AdamW + sparse-row Adam, batch 2048, 5
+negatives) on a synthetic Amazon-books-scale workload and prints ONE JSON
+line.
+
+Baseline for ``vs_baseline``: the reference publishes no throughput — only
+996 s wall-clock for 7 epochs at a 2,000,000-interaction cap on CPU
+(BASELINE.md). 7 * 2e6 / 996 = 14,056 examples/s is an *upper bound* on the
+reference's CPU throughput (pruning only shrinks its epochs), so
+``vs_baseline = ours / 14056`` is conservative in the reference's favor.
+
+Env overrides: BENCH_USERS, BENCH_ITEMS, BENCH_FEATURES, BENCH_BATCH,
+BENCH_STEPS, BENCH_DIM, BENCH_QUERY_BATCHES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_EXAMPLES_PER_S = 7 * 2_000_000 / 996.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _model_cfg_dict
+    from ttamm_tpu.models import parse_model_config
+    from ttamm_tpu.ops.topk import mips_topk
+    from ttamm_tpu.parallel import (
+        MeshConfig,
+        build_mesh,
+        make_sharded_train_step,
+        place_data,
+        place_state,
+    )
+    from ttamm_tpu.train import TrainStepConfig, create_train_state, encode_corpus
+    from ttamm_tpu.train.optim import parse_dense_opt_config
+    from ttamm_tpu.train.state import BatchData
+
+    num_users = int(os.environ.get("BENCH_USERS", 200_000))
+    num_items = int(os.environ.get("BENCH_ITEMS", 100_000))
+    feat = int(os.environ.get("BENCH_FEATURES", 608))
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    dim = int(os.environ.get("BENCH_DIM", 128))
+    query_batches = int(os.environ.get("BENCH_QUERY_BATCHES", 10))
+    neg = 5
+
+    n_devices = len(jax.devices())
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=1))
+
+    cfg = parse_model_config(
+        _model_cfg_dict(dim), user_feature_dim=feat, item_feature_dim=feat
+    )
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=num_users, num_items=num_items
+    )
+
+    rng = np.random.default_rng(0)
+    pos_width = 8
+    positive_rows = rng.integers(
+        0, num_items, (num_users, pos_width), dtype=np.int32
+    )
+    data = BatchData(
+        user_features=jnp.asarray(
+            rng.normal(0, 1, (num_users, feat)).astype(np.float32)
+        ),
+        item_features=jnp.asarray(
+            rng.normal(0, 1, (num_items, feat)).astype(np.float32)
+        ),
+        positive_rows=jnp.asarray(positive_rows),
+        category_ids=jnp.asarray(
+            rng.integers(0, 64, num_items).astype(np.int32)
+        ),
+    )
+    tscfg = TrainStepConfig(
+        num_items=num_items,
+        negatives_per_positive=neg,
+        lambda_mimic_user=0.15,
+        lambda_mimic_item=0.15,
+        lambda_category_alignment=0.01,
+        cal_max_categories=64,
+        opt=parse_dense_opt_config(
+            {"optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 0.01}
+        ),
+    )
+
+    state = place_state(mesh, state)
+    data = place_data(mesh, data)
+    from ttamm_tpu.train import make_train_step
+
+    step_jit = make_train_step(cfg, tscfg)
+    raw_step = step_jit.__wrapped__  # un-jitted step for device-side scan
+
+    u_all = jnp.asarray(rng.integers(0, num_users, (steps, batch)).astype(np.int32))
+    p_all = jnp.asarray(rng.integers(0, num_items, (steps, batch)).astype(np.int32))
+
+    @jax.jit
+    def run_steps(state, data, u_all, p_all, key):
+        """Device-side training loop: host dispatch cost excluded."""
+
+        def body(st, xs):
+            u, p, i = xs
+            st, m = raw_step(st, data, u, p, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(
+            body, state, (u_all, p_all, jnp.arange(steps, dtype=jnp.int32))
+        )
+
+    def _sync(*arrays):
+        # On the tunneled TPU backend block_until_ready can return early;
+        # materializing a host value is the only reliable barrier.
+        return [np.asarray(jax.device_get(a)) for a in arrays]
+
+    # Warmup / compile.
+    state2, losses = run_steps(state, data, u_all, p_all, jax.random.key(0))
+    _sync(losses, state2.step, state2.tables["user_id"][:1, :1])
+    t0 = time.perf_counter()
+    state2, losses = run_steps(state, data, u_all, p_all, jax.random.key(1))
+    _sync(losses, state2.step, state2.tables["user_id"][:1, :1],
+          state2.tables["user_aug"][:1, :1], state2.opt_dense.step)
+    train_seconds = time.perf_counter() - t0
+    state = state2
+    examples_per_s = steps * batch / train_seconds
+
+    # Top-K queries/s: encode corpus once, then timed top-20 sweeps.
+    item_emb = encode_corpus(state, data, cfg, "item", num_rows=num_items)
+    item_emb = item_emb / jnp.maximum(
+        jnp.linalg.norm(item_emb, axis=-1, keepdims=True), 1e-12
+    )
+    qbatch = 1024
+    queries_all = jnp.asarray(
+        rng.normal(0, 1, (query_batches, qbatch, dim)).astype(np.float32)
+    )
+
+    @jax.jit
+    def run_queries(queries_all, item_emb):
+        """Device-side query loop; iterations chained to prevent overlap."""
+
+        def body(carry, q):
+            q = q + 0.0 * carry  # serialize on previous result
+            s, idx = mips_topk(q, item_emb, k=20, normalize_queries=True)
+            return s[:, :1], idx
+
+        return jax.lax.scan(
+            body, jnp.zeros((qbatch, 1), jnp.float32), queries_all
+        )
+
+    _, idx = run_queries(queries_all, item_emb)
+    _sync(idx[:, :1, :1])
+    t0 = time.perf_counter()
+    _, idx = run_queries(queries_all, item_emb)
+    _sync(idx[:, :1, :1])
+    query_seconds = time.perf_counter() - t0
+    queries_per_s = query_batches * qbatch / query_seconds
+
+    result = {
+        "metric": "training examples/s/chip",
+        "value": round(examples_per_s / max(n_devices, 1), 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(examples_per_s / REFERENCE_EXAMPLES_PER_S, 2),
+        "extra": {
+            "topk_queries_per_s": round(queries_per_s, 1),
+            "num_users": num_users,
+            "num_items": num_items,
+            "batch": batch,
+            "steps": steps,
+            "dim": dim,
+            "platform": jax.default_backend(),
+            "devices": n_devices,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh
+(SURVEY §4 test plan items a/b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttamm_tpu.data import pack_positives
+from ttamm_tpu.models import parse_model_config
+from ttamm_tpu.parallel import (
+    MeshConfig,
+    build_mesh,
+    make_sharded_train_step,
+    pad_batch_data,
+    pad_state_rows,
+    place_data,
+    place_state,
+    sharded_mips_topk,
+)
+from ttamm_tpu.train import TrainStepConfig, create_train_state, make_train_step
+from ttamm_tpu.train.optim import parse_dense_opt_config
+from ttamm_tpu.train.state import BatchData
+
+U, I, F, B, NEG = 48, 40, 12, 16, 3
+
+
+def _setup(seed=0):
+    mc = {
+        "user_encoder": {
+            "type": "tower",
+            "id_embedding": {"params": {"embedding_dim": 16, "sparse": True}},
+            "feature_encoder": {"type": "mlp", "hidden_dims": [32], "output_dim": 16},
+            "fusion": "gated",
+        },
+        "item_encoder": {
+            "type": "tower",
+            "id_embedding": {"params": {"embedding_dim": 16, "sparse": True}},
+            "feature_encoder": {"type": "mlp", "hidden_dims": [32], "output_dim": 16},
+            "fusion": "gated",
+        },
+        "similarity": "cosine",
+        "adaptive_mimic": {"enabled": True},
+    }
+    cfg = parse_model_config(mc, user_feature_dim=F, item_feature_dim=F)
+    state = create_train_state(jax.random.key(seed), cfg, num_users=U, num_items=I)
+    rng = np.random.default_rng(seed)
+    positives = {u: {int(x) for x in rng.integers(0, I, 3)} for u in range(U)}
+    pp = pack_positives(positives, num_users=U, num_items=I)
+    data = BatchData(
+        user_features=jnp.asarray(rng.normal(0, 1, (U, F)).astype(np.float32)),
+        item_features=jnp.asarray(rng.normal(0, 1, (I, F)).astype(np.float32)),
+        positive_rows=jnp.asarray(pp.rows),
+        category_ids=jnp.asarray(rng.integers(0, 4, I).astype(np.int32)),
+    )
+    tscfg = TrainStepConfig(
+        num_items=I,
+        negatives_per_positive=NEG,
+        lambda_mimic_user=0.15,
+        lambda_mimic_item=0.15,
+        lambda_category_alignment=0.01,
+        cal_max_categories=4,
+        opt=parse_dense_opt_config(
+            {"optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 0.01}
+        ),
+    )
+    return cfg, state, data, tscfg
+
+
+def test_mesh_construction():
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(data_parallel=16, model_parallel=1))
+
+
+def test_sharded_step_matches_single_device():
+    """The sharded step must be numerically equivalent to the local step."""
+    cfg, state, data, tscfg = _setup()
+    step = make_train_step(cfg, tscfg)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(42)
+
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = pad_state_rows(state, 2)
+    pdata = pad_batch_data(data, 2)
+    pstate = place_state(mesh, pstate)
+    pdata = place_data(mesh, pdata)
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    # Table rows (excluding padding) identical after one update.
+    rows = np.asarray(ref_state.tables["user_id"])
+    srows = np.asarray(new_state.tables["user_id"])[: rows.shape[0]]
+    assert np.allclose(rows, srows, atol=1e-5)
+    dense_a = np.asarray(jax.tree.leaves(ref_state.dense)[0])
+    dense_b = np.asarray(jax.tree.leaves(new_state.dense)[0])
+    assert np.allclose(dense_a, dense_b, atol=1e-5)
+
+
+def test_sharded_step_runs_multiple_steps():
+    cfg, state, data, tscfg = _setup(seed=3)
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    pstate = place_state(mesh, pad_state_rows(state, 4))
+    pdata = place_data(mesh, pad_batch_data(data, 4))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    rng = np.random.default_rng(2)
+    losses = []
+    for i in range(20):
+        u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+        p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+        pstate, metrics = sharded(pstate, pdata, u, p, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sharded_mips_topk_matches_exact():
+    rng = np.random.default_rng(5)
+    items = rng.normal(0, 1, (100, 16)).astype(np.float32)
+    queries = rng.normal(0, 1, (7, 16)).astype(np.float32)
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    scores, idx = sharded_mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=9, mesh=mesh, chunk_size=16
+    )
+    full = queries @ items.T
+    expected = np.argsort(-full, axis=1)[:, :9]
+    assert np.array_equal(np.asarray(idx), expected)

@@ -1,0 +1,36 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    MeshConfig,
+    build_mesh,
+    parse_mesh_config,
+    round_up,
+)
+from .sharding import (
+    batch_sharding,
+    data_shardings,
+    pad_batch_data,
+    pad_state_rows,
+    place_data,
+    place_state,
+    state_shardings,
+)
+from .step import make_sharded_train_step, sharded_mips_topk
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "MeshConfig",
+    "batch_sharding",
+    "build_mesh",
+    "data_shardings",
+    "make_sharded_train_step",
+    "pad_batch_data",
+    "pad_state_rows",
+    "parse_mesh_config",
+    "place_data",
+    "place_state",
+    "round_up",
+    "sharded_mips_topk",
+    "state_shardings",
+]

@@ -1,0 +1,150 @@
+"""Mesh-sharded training step and distributed corpus encode / MIPS top-K.
+
+``make_sharded_train_step`` compiles the SAME step function as the
+single-chip path (``ttamm_tpu.train.step``) under explicit in/out
+shardings: dp batch sharding over ``data``, row-sharded tables over
+``model``. XLA GSPMD lowers the table gathers/scatters into the all-gather
++ masked-gather + psum exchange pattern and psum-reduces dense grads —
+no separate multi-chip code path to maintain.
+
+``sharded_mips_topk`` uses ``shard_map`` for the eval sweep: each model
+shard scores its local item rows and produces a local top-k; a cross-shard
+all-gather + merge yields the global top-k (the distributed form of the
+reference's chunked merge, ref ``training.py:372-382``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.two_tower import ModelConfig
+from ..ops.topk import NEG_INF, mips_topk
+from ..train.state import BatchData, TrainState
+from ..train.step import TrainStepConfig, make_train_step
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .sharding import batch_sharding, data_shardings, state_shardings
+
+
+def make_sharded_train_step(
+    cfg: ModelConfig,
+    tscfg: TrainStepConfig,
+    mesh: Mesh,
+    state_template: TrainState,
+    data_template: BatchData,
+):
+    """Jit the train step with explicit mesh shardings (donated state)."""
+    base_step = make_train_step(cfg, tscfg)
+    # Re-jit the underlying function with shardings: reach for the wrapped
+    # fn to avoid double-jit overhead.
+    inner = base_step.__wrapped__ if hasattr(base_step, "__wrapped__") else base_step
+
+    st_shard = state_shardings(mesh, state_template)
+    dt_shard = data_shardings(mesh, data_template)
+    b_shard = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    metric_shardings = {
+        "loss": rep,
+        "retrieval_loss": rep,
+        "mimic_user_loss": rep,
+        "mimic_item_loss": rep,
+        "category_alignment_loss": rep,
+    }
+    return jax.jit(
+        inner,
+        in_shardings=(st_shard, dt_shard, b_shard, b_shard, rep),
+        out_shardings=(st_shard, metric_shardings),
+        donate_argnums=(0,),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "normalize_queries", "chunk_size"),
+)
+def _sharded_topk_impl(
+    queries: jax.Array,
+    item_shards: jax.Array,
+    *,
+    k: int,
+    mesh: Mesh,
+    normalize_queries: bool,
+    chunk_size: int,
+):
+    from jax.experimental.shard_map import shard_map
+
+    num_shards = mesh.shape[MODEL_AXIS]
+    rows_per_shard = item_shards.shape[0] // num_shards
+
+    def local_topk(q, items):
+        # items: local shard rows [rows_per_shard, D]; q replicated [B, D].
+        shard_id = jax.lax.axis_index(MODEL_AXIS)
+        scores, idx = mips_topk(
+            q,
+            items,
+            k=min(k, rows_per_shard),
+            chunk_size=chunk_size,
+            normalize_queries=normalize_queries,
+        )
+        idx = idx + shard_id * rows_per_shard
+        # all-gather local top-k across the model axis, merge to global k.
+        all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, MODEL_AXIS, axis=1, tiled=True)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=-1)
+        return top_scores, top_idx
+
+    return shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(queries, item_shards)
+
+
+def sharded_mips_topk(
+    queries: jax.Array,
+    item_embeddings: jax.Array,
+    *,
+    k: int,
+    mesh: Mesh,
+    normalize_queries: bool = False,
+    chunk_size: int = 8192,
+):
+    """Distributed exact top-k: shard-local top-k + all-gather merge.
+
+    ``item_embeddings`` row count must be a multiple of the model-axis size
+    (pad with zero rows; they rank last for non-degenerate queries).
+    Returns (scores [B, k], global indices [B, k]).
+    """
+    num_shards = mesh.shape[MODEL_AXIS]
+    if item_embeddings.shape[0] % num_shards != 0:
+        pad = num_shards - item_embeddings.shape[0] % num_shards
+        item_embeddings = jnp.concatenate(
+            [
+                item_embeddings,
+                jnp.full(
+                    (pad, item_embeddings.shape[1]),
+                    0.0,
+                    item_embeddings.dtype,
+                ),
+            ],
+            axis=0,
+        )
+    item_embeddings = jax.device_put(
+        item_embeddings, NamedSharding(mesh, P(MODEL_AXIS, None))
+    )
+    queries = jax.device_put(queries, NamedSharding(mesh, P()))
+    return _sharded_topk_impl(
+        queries,
+        item_embeddings,
+        k=k,
+        mesh=mesh,
+        normalize_queries=normalize_queries,
+        chunk_size=chunk_size,
+    )
