@@ -1,0 +1,82 @@
+"""Flat-index artifact + native/numpy search backends."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ttamm_tpu.serve import FlatIndex, build_flat_index, native_available
+from ttamm_tpu.serve.flat_index import _numpy_search
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_flat_index_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    emb = rng.normal(0, 1, (100, 16)).astype(np.float32)
+    index = build_flat_index(emb, normalize=True)
+    path = tmp_path / "items.index"
+    index.save(path)
+    loaded = FlatIndex.load(path)
+    assert loaded.normalized is True
+    assert loaded.dim == 16 and len(loaded) == 100
+    norms = np.linalg.norm(loaded.embeddings, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+
+
+def test_flat_index_bad_magic(tmp_path):
+    path = tmp_path / "bogus.index"
+    path.write_bytes(b"NOTANIDX" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        FlatIndex.load(path)
+
+
+def test_numpy_search_exact():
+    rng = np.random.default_rng(1)
+    emb = rng.normal(0, 1, (500, 8)).astype(np.float32)
+    queries = rng.normal(0, 1, (7, 8)).astype(np.float32)
+    scores, idx = _numpy_search(emb, queries, 5)
+    full = queries @ emb.T
+    expected = np.argsort(-full, axis=1)[:, :5]
+    assert np.array_equal(idx, expected)
+
+
+@pytest.mark.skipif(not native_available(), reason="native library not built")
+def test_native_matches_numpy():
+    rng = np.random.default_rng(2)
+    emb = rng.normal(0, 1, (2000, 32)).astype(np.float32)
+    queries = rng.normal(0, 1, (16, 32)).astype(np.float32)
+    from ttamm_tpu.serve import native_flat_search
+
+    s_n, i_n = native_flat_search(emb, queries, 9)
+    s_p, i_p = _numpy_search(emb, queries, 9)
+    assert np.array_equal(i_n, i_p)
+    assert np.allclose(s_n, s_p, atol=1e-4)
+
+
+def test_query_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    emb = rng.normal(0, 1, (50, 8)).astype(np.float32)
+    build_flat_index(emb).save(tmp_path / "items.index")
+    np.save(tmp_path / "q.npy", emb[:2])
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO_ROOT / "scripts" / "query.py"),
+            "--index",
+            str(tmp_path / "items.index"),
+            "--queries",
+            str(tmp_path / "q.npy"),
+            "--k",
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 2
+    # each query's own row is its top hit for un-normalised self-queries
+    assert lines[0].startswith("query 0: 0:")

@@ -1,0 +1,125 @@
+"""Pallas TPU kernels for embedding-row gather / scatter.
+
+XLA's TPU lowering of row gather (``jnp.take``) and scatter runs at ~1% of
+HBM bandwidth for the shapes this framework cares about (O(10^4) rows of
+128-512 floats from O(10^5)-row tables — measured ~1 ms for a 6 MB
+gather). These kernels issue per-row async DMAs directly between the
+HBM-resident table and a VMEM block, pipelining DMA issue against
+completion, which is the pattern the hardware's DMA engines are built for.
+
+Used by the sparse-row optimizer and the embedding lookup path; both fall
+back to the XLA ops when Pallas is unavailable (CPU tests run the kernels
+in interpreter mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_kernel(block: int, idx_ref, table_ref, out_ref, sems):
+    base = pl.program_id(0) * block
+    for r in range(block):
+        pltpu.make_async_copy(
+            table_ref.at[idx_ref[base + r]],
+            out_ref.at[r],
+            sems.at[r],
+        ).start()
+    for r in range(block):
+        pltpu.make_async_copy(
+            table_ref.at[idx_ref[base + r]],
+            out_ref.at[r],
+            sems.at[r],
+        ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def gather_rows(
+    table: jax.Array,
+    idx: jax.Array,
+    *,
+    block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """``table[idx]`` via per-row async DMA. ``len(idx)`` must be a
+    multiple of ``block`` (pad with any valid row id)."""
+    n = idx.shape[0]
+    dim = table.shape[1]
+    assert n % block == 0, f"gather_rows: {n} not a multiple of block {block}"
+    grid = (n // block,)
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (block, dim), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((block,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, dim), table.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), table)
+
+
+def _scatter_set_kernel(block: int, idx_ref, rows_ref, table_ref, out_ref, sems):
+    del table_ref  # aliased with out_ref
+    base = pl.program_id(0) * block
+    for r in range(block):
+        pltpu.make_async_copy(
+            rows_ref.at[r],
+            out_ref.at[idx_ref[base + r]],
+            sems.at[r],
+        ).start()
+    for r in range(block):
+        pltpu.make_async_copy(
+            rows_ref.at[r],
+            out_ref.at[idx_ref[base + r]],
+            sems.at[r],
+        ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"), donate_argnums=(0,))
+def scatter_set_rows(
+    table: jax.Array,
+    idx: jax.Array,
+    rows: jax.Array,
+    *,
+    block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """``table.at[idx].set(rows)`` in place via per-row DMA writes.
+
+    Duplicate indices race (last-writer-wins nondeterministically) — pass
+    unique target rows, or route duplicates to a scratch row first (see
+    ``coalesce_row_grads``).
+    """
+    n = idx.shape[0]
+    dim = table.shape[1]
+    assert n % block == 0, f"scatter_set_rows: {n} not a multiple of {block}"
+    grid = (n // block,)
+    return pl.pallas_call(
+        functools.partial(_scatter_set_kernel, block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (block, dim), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((block,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={2: 0},  # alias the table input (after idx, rows)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), rows, table)

@@ -82,11 +82,18 @@ def sparse_adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, SparseAdamState]:
     """Apply one SparseAdam step for the touched rows.
 
     ``table``/``state`` must include the scratch row (last row) appended by
-    ``init_model``; it absorbs the writes from coalesced-duplicate lanes.
+    ``init_model``; it absorbs the writes from coalesced-duplicate lanes
+    (DMA write races on the scratch row are harmless — its value is never
+    read).
+
+    ``use_pallas`` routes the row gathers/scatters through the per-row DMA
+    kernels (``ops/pallas/rows.py``) — faster than XLA's scatter lowering
+    on TPU; leave False on CPU.
     """
     scratch_row = table.shape[0] - 1
     step = state.step + 1
@@ -95,8 +102,22 @@ def sparse_adam_update(
         indices.astype(jnp.int32), row_grads, scratch_row=scratch_row
     )
 
-    m_rows = state.m[target_rows]
-    v_rows = state.v[target_rows]
+    if use_pallas:
+        from .pallas.rows import gather_rows, scatter_set_rows
+
+        block = _pick_block(target_rows.shape[0])
+        if block is None:
+            use_pallas = False
+
+    if use_pallas:
+        m_rows = gather_rows(state.m, target_rows, block=block)
+        v_rows = gather_rows(state.v, target_rows, block=block)
+        w_rows = gather_rows(table, target_rows, block=block)
+    else:
+        m_rows = state.m[target_rows]
+        v_rows = state.v[target_rows]
+        w_rows = table[target_rows]
+
     m_new = b1 * m_rows + (1.0 - b1) * grads
     v_new = b2 * v_rows + (1.0 - b2) * jnp.square(grads)
 
@@ -105,8 +126,24 @@ def sparse_adam_update(
     v_hat = v_new / (1.0 - jnp.power(b2, t))
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-    w_rows = table[target_rows]
-    new_table = table.at[target_rows].set(w_rows - delta, unique_indices=False)
-    new_m = state.m.at[target_rows].set(m_new, unique_indices=False)
-    new_v = state.v.at[target_rows].set(v_new, unique_indices=False)
+    if use_pallas:
+        new_table = scatter_set_rows(table, target_rows, w_rows - delta, block=block)
+        new_m = scatter_set_rows(state.m, target_rows, m_new, block=block)
+        new_v = scatter_set_rows(state.v, target_rows, v_new, block=block)
+    else:
+        new_table = table.at[target_rows].set(w_rows - delta, unique_indices=False)
+        new_m = state.m.at[target_rows].set(m_new, unique_indices=False)
+        new_v = state.v.at[target_rows].set(v_new, unique_indices=False)
     return new_table, SparseAdamState(m=new_m, v=new_v, step=step)
+
+
+def _pick_block(n: int) -> int | None:
+    """Largest supported DMA block size that divides n (None if none do).
+
+    Capped at 256: each in-flight DMA needs a semaphore and TPU sflag
+    memory holds at most ~512 of them per kernel.
+    """
+    for block in (256, 128, 64, 32, 16, 8):
+        if n % block == 0:
+            return block
+    return None

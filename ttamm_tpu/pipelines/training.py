@@ -440,6 +440,9 @@ def run_single_experiment(
                 min(64, len(categories.category_names)) if categories else 0,
             )
         ),
+        use_pallas=bool(
+            training_config.get("use_pallas", jax.default_backend() == "tpu")
+        ),
         opt=parse_dense_opt_config(training_config),
     )
     train_step = make_train_step(model_cfg, tscfg)

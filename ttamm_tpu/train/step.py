@@ -48,6 +48,7 @@ class TrainStepConfig(NamedTuple):
     gradient_clip_norm: float | None = None
     cal_max_categories: int = 64
     sampling_rounds: int = 8
+    use_pallas: bool = False  # per-row DMA kernels for sparse-adam (TPU only)
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -252,7 +253,7 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
                 state.opt_sparse["user_id"],
                 u_idx,
                 grads["sparse_rows"]["user_id"],
-                lr=sparse_lr, b1=b1, b2=b2,
+                lr=sparse_lr, b1=b1, b2=b2, use_pallas=tscfg.use_pallas,
             )
         if "item_id" in sparse_names:
             new_tables["item_id"], new_opt_sparse["item_id"] = sparse_adam_update(
@@ -260,7 +261,7 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
                 state.opt_sparse["item_id"],
                 item_idx_all,
                 grads["sparse_rows"]["item_id"],
-                lr=sparse_lr, b1=b1, b2=b2,
+                lr=sparse_lr, b1=b1, b2=b2, use_pallas=tscfg.use_pallas,
             )
 
         new_state = TrainState(
