@@ -1,0 +1,63 @@
+"""Pallas row-kernel numerics vs XLA reference (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttamm_tpu.ops.pallas.rows import gather_rows, scatter_set_rows
+
+
+def test_gather_rows_matches_take():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(0, 1, (64, 16)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, 32).astype(np.int32))
+    out = gather_rows(table, idx, block=8, interpret=True)
+    assert np.allclose(np.asarray(out), np.asarray(table)[np.asarray(idx)])
+
+
+def test_scatter_set_rows_matches_at_set():
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(0, 1, (64, 16)).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(64)[:16].astype(np.int32))
+    rows = jnp.asarray(rng.normal(0, 1, (16, 16)).astype(np.float32))
+    out = scatter_set_rows(table + 0, idx, rows, block=8, interpret=True)
+    expected = np.asarray(table).copy()
+    expected[np.asarray(idx)] = np.asarray(rows)
+    assert np.allclose(np.asarray(out), expected)
+
+
+def test_sparse_adam_pallas_path_matches_xla():
+    from ttamm_tpu.ops.sparse_adam import init_sparse_adam, sparse_adam_update
+
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.normal(0, 1, (33, 8)).astype(np.float32))
+    state = init_sparse_adam(table)
+    idx = jnp.asarray(rng.integers(0, 32, 16).astype(np.int32))
+    grads = jnp.asarray(rng.normal(0, 1, (16, 8)).astype(np.float32))
+
+    t_x, s_x = sparse_adam_update(table, state, idx, grads, lr=0.01)
+    # The pallas flag falls back automatically off-TPU via interpret-mode
+    # kernels only in tests; emulate by monkeypatching interpret.
+    import ttamm_tpu.ops.pallas.rows as rows_mod
+
+    orig_gather, orig_scatter = rows_mod.gather_rows, rows_mod.scatter_set_rows
+
+    def gather_interp(table, idx, *, block=256, interpret=False):
+        return orig_gather(table, idx, block=block, interpret=True)
+
+    def scatter_interp(table, idx, rows, *, block=256, interpret=False):
+        return orig_scatter(table, idx, rows, block=block, interpret=True)
+
+    rows_mod.gather_rows = gather_interp
+    rows_mod.scatter_set_rows = scatter_interp
+    try:
+        t_p, s_p = sparse_adam_update(
+            table, state, idx, grads, lr=0.01, use_pallas=True
+        )
+    finally:
+        rows_mod.gather_rows = orig_gather
+        rows_mod.scatter_set_rows = orig_scatter
+
+    assert np.allclose(np.asarray(t_x), np.asarray(t_p), atol=1e-6)
+    assert np.allclose(np.asarray(s_x.m), np.asarray(s_p.m), atol=1e-6)
+    assert np.allclose(np.asarray(s_x.v), np.asarray(s_p.v), atol=1e-6)

@@ -26,7 +26,7 @@ import random
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Iterable, Mapping, Sequence
+from typing import Any, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,7 @@ from ..train.step import (
     TrainStepConfig,
     encode_corpus,
     make_eval_loss_step,
+    make_multi_train_step,
     make_train_step,
 )
 from ..utils import configure_logging, expand_grid, get_logger
@@ -283,15 +284,6 @@ def _log_recommendations(
     return results
 
 
-def _epoch_batches(
-    users: np.ndarray, items: np.ndarray, batch_size: int, rng: np.random.Generator
-) -> Iterable[tuple[np.ndarray, np.ndarray]]:
-    perm = rng.permutation(len(users))
-    for start in range(0, len(users), batch_size):
-        sel = perm[start : start + batch_size]
-        yield users[sel], items[sel]
-
-
 def _dataset_loss(
     eval_step, state, data, users, items, batch_size, key
 ) -> float:
@@ -440,12 +432,16 @@ def run_single_experiment(
                 min(64, len(categories.category_names)) if categories else 0,
             )
         ),
-        use_pallas=bool(
-            training_config.get("use_pallas", jax.default_backend() == "tpu")
-        ),
+        # Per-row DMA kernels are available behind this flag; measured on
+        # v5e the XLA scatter path is faster in-context because XLA
+        # overlaps the independent m/v/w row ops across DMA queues while a
+        # Pallas kernel issues from one core (see ops/pallas/rows.py).
+        use_pallas=bool(training_config.get("use_pallas", False)),
         opt=parse_dense_opt_config(training_config),
     )
     train_step = make_train_step(model_cfg, tscfg)
+    multi_step = make_multi_train_step(model_cfg, tscfg)
+    steps_per_call = max(1, int(training_config.get("steps_per_call", 16)))
     eval_step = make_eval_loss_step(model_cfg, tscfg)
     logger.info(
         "Tower configuration | dim=%d | similarity=%s | mimic=%s | sparse tables=%s",
@@ -557,19 +553,54 @@ def run_single_experiment(
         seen = 0
         step_key = jax.random.fold_in(root_key, epoch)
         pending: list[tuple[Any, int]] = []
-        for bi, (u, p) in enumerate(
-            _epoch_batches(train_users, train_items, batch_size, epoch_rng)
-        ):
+
+        # Full-size batches run through the multi-batch scanned step
+        # (steps_per_call batches per device call); the remainder batch
+        # goes through the single step. Matches the reference's
+        # drop_last=False semantics with at most two compiled shapes.
+        perm = epoch_rng.permutation(len(train_users))
+        num_full = len(perm) // batch_size
+        full_count = num_full * batch_size
+        u_full = train_users[perm[:full_count]].reshape(num_full, batch_size)
+        p_full = train_items[perm[:full_count]].reshape(num_full, batch_size)
+        chunk_idx = 0
+        for start in range(0, num_full, steps_per_call):
+            u_chunk = u_full[start : start + steps_per_call]
+            p_chunk = p_full[start : start + steps_per_call]
+            if u_chunk.shape[0] == steps_per_call and steps_per_call > 1:
+                state, losses = multi_step(
+                    state,
+                    data,
+                    jnp.asarray(u_chunk),
+                    jnp.asarray(p_chunk),
+                    jax.random.fold_in(step_key, 100_000 + chunk_idx),
+                )
+                pending.append((losses, batch_size * steps_per_call))
+            else:
+                for row in range(u_chunk.shape[0]):
+                    state, metrics = train_step(
+                        state,
+                        data,
+                        jnp.asarray(u_chunk[row]),
+                        jnp.asarray(p_chunk[row]),
+                        jax.random.fold_in(step_key, start + row),
+                    )
+                    pending.append((metrics["loss"], batch_size))
+            chunk_idx += 1
+        if full_count < len(perm):
+            u_rem = train_users[perm[full_count:]]
+            p_rem = train_items[perm[full_count:]]
             state, metrics = train_step(
                 state,
                 data,
-                jnp.asarray(u),
-                jnp.asarray(p),
-                jax.random.fold_in(step_key, bi),
+                jnp.asarray(u_rem),
+                jnp.asarray(p_rem),
+                jax.random.fold_in(step_key, 999_983),
             )
-            pending.append((metrics["loss"], len(u)))
+            pending.append((metrics["loss"], len(u_rem)))
+
         for loss_dev, n in pending:
-            running_loss += float(loss_dev) * n
+            running_loss += float(np.mean(np.asarray(loss_dev))) * n
             seen += n
         avg_loss = running_loss / max(seen, 1)
         epoch_seconds = time.time() - epoch_start

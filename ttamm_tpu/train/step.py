@@ -277,6 +277,34 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     return train_step
 
 
+def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
+    """Jitted multi-batch step: ``lax.scan`` the train step over K stacked
+    batches in one device call.
+
+    ``(state, data, u_all [K, B], p_all [K, B], rng) -> (state, losses [K])``
+
+    Amortises host dispatch across K steps — the epoch loop uses this for
+    whole chunks of the epoch and falls back to the single step for the
+    remainder batch. Donates the input state.
+    """
+    single = make_train_step(cfg, tscfg)
+    raw_step = single.__wrapped__
+
+    def multi(state: TrainState, data: BatchData, u_all, p_all, rng):
+        steps = u_all.shape[0]
+
+        def body(st, xs):
+            u, p, i = xs
+            st, metrics = raw_step(st, data, u, p, jax.random.fold_in(rng, i))
+            return st, metrics["loss"]
+
+        return jax.lax.scan(
+            body, state, (u_all, p_all, jnp.arange(steps, dtype=jnp.int32))
+        )
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     """Build the jitted eval-loss step: plain BCE on the [pos; sampled-neg]
     stack, no dropout, no auxiliary loss terms (ref ``training.py:836-914``).
