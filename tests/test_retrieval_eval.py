@@ -1,0 +1,147 @@
+"""Retrieval-eval parity vs a literal re-implementation of the reference's
+FAISS-path post-processing (filter blocked -> cap at search_limit -> append
+missed GT -> truncate to max_k, ref ``training.py:944-972``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from ttamm_tpu.data import pack_positives
+from ttamm_tpu.evaluation import compute_ranking_metrics, evaluate_retrieval
+from ttamm_tpu.models import parse_model_config
+from ttamm_tpu.train import create_train_state
+from ttamm_tpu.train.state import BatchData
+
+
+def _setup(num_users=20, num_items=15, seed=0):
+    cfg = parse_model_config(
+        {
+            "user_encoder": {"type": "embedding", "params": {"embedding_dim": 8}},
+            "item_encoder": {"type": "embedding", "params": {"embedding_dim": 8}},
+            "similarity": "dot",
+            "adaptive_mimic": {"enabled": False},
+        },
+        user_feature_dim=0,
+        item_feature_dim=0,
+    )
+    state = create_train_state(
+        jax.random.key(seed), cfg, num_users=num_users, num_items=num_items
+    )
+    rng = np.random.default_rng(seed)
+    positives = {
+        u: {int(x) for x in rng.integers(0, num_items, 3)} for u in range(num_users)
+    }
+    packed = pack_positives(positives, num_users=num_users, num_items=num_items)
+    data = BatchData(
+        user_features=None,
+        item_features=None,
+        positive_rows=jnp.asarray(packed.rows),
+        category_ids=None,
+    )
+    return cfg, state, data, positives, rng
+
+
+def _reference_predictions(user_emb, item_emb, blocked, gt, max_k):
+    """Literal reference post-processing on exact scores."""
+    scores = item_emb @ user_emb
+    order = np.argsort(-scores, kind="stable")
+    search_limit = max(max_k + len(gt), 1)
+    filtered, seen = [], set()
+    for item in order:
+        item = int(item)
+        if item in blocked or item in seen:
+            continue
+        filtered.append(item)
+        seen.add(item)
+        if len(filtered) >= search_limit:
+            break
+    for item in gt:
+        if item not in seen:
+            filtered.append(item)
+    return filtered[:max_k]
+
+
+def test_mips_eval_matches_reference_postprocessing():
+    cfg, state, data, positives, rng = _setup()
+    num_users, num_items = 20, 15
+    val = pd.DataFrame(
+        {
+            "user_idx": list(range(num_users)),
+            "item_idx": [int(rng.integers(0, num_items)) for _ in range(num_users)],
+        }
+    )
+    train_blocked = {u: set(list(positives[u])[:2]) for u in range(num_users)}
+
+    preds, gts = evaluate_retrieval(
+        state, data, cfg,
+        val_interactions=val,
+        train_positive_map=train_blocked,
+        num_items=num_items,
+        k_values=[5, 10],
+        use_mips=True,
+        user_batch_size=7,  # force batching + padding
+        topk_chunk_size=4,
+    )
+
+    user_table = np.asarray(state.tables["user_id"])
+    item_table = np.asarray(state.tables["item_id"])
+    for user in preds:
+        gt = gts[user]
+        expected = _reference_predictions(
+            user_table[user], item_table, train_blocked[user], gt, max_k=10
+        )
+        assert preds[user] == expected, user
+
+
+def test_gt_append_quirk_on_tiny_corpus():
+    """When almost everything is blocked, missed GT must be force-appended."""
+    cfg, state, data, positives, rng = _setup(num_users=3, num_items=6)
+    # Block all but one item for user 0; GT is a blocked... use GT outside
+    blocked = {0: {0, 1, 2, 3}, 1: set(), 2: set()}
+    val = pd.DataFrame({"user_idx": [0], "item_idx": [4]})
+    preds, gts = evaluate_retrieval(
+        state, data, cfg,
+        val_interactions=val,
+        train_positive_map=blocked,
+        num_items=6,
+        k_values=[5],
+        use_mips=True,
+    )
+    # only items 4,5 are unblocked; predictions has <=2 entries, GT among them
+    assert set(preds[0]) <= {4, 5}
+    assert 4 in preds[0]
+
+
+def test_sampled_eval_contains_ground_truth():
+    cfg, state, data, positives, rng = _setup()
+    val = pd.DataFrame({"user_idx": [0, 1, 2], "item_idx": [3, 4, 5]})
+    preds, gts = evaluate_retrieval(
+        state, data, cfg,
+        val_interactions=val,
+        train_positive_map={u: set() for u in range(20)},
+        num_items=15,
+        k_values=[15],
+        use_mips=False,
+        candidate_samples=4,
+        rng=np.random.default_rng(0),
+    )
+    # with max_k >= candidate count, every GT item must appear
+    for u, gt in gts.items():
+        assert gt <= set(preds[u])
+
+
+def test_metrics_pipeline_end():
+    cfg, state, data, positives, rng = _setup()
+    val = pd.DataFrame({"user_idx": [0, 1], "item_idx": [3, 4]})
+    preds, gts = evaluate_retrieval(
+        state, data, cfg,
+        val_interactions=val,
+        train_positive_map={u: set() for u in range(20)},
+        num_items=15,
+        k_values=[5],
+        use_mips=True,
+    )
+    metrics = compute_ranking_metrics(preds, gts, [5])
+    assert 0.0 <= metrics.recall[5] <= 1.0

@@ -199,7 +199,7 @@ def evaluate_retrieval(
             else:
                 q = queries
             scores = jnp.einsum("bd,bcd->bc", q, cand_emb)
-            scores_np = np.asarray(scores)
+            scores_np = np.array(scores)  # writable copy
             scores_np[
                 np.concatenate(
                     [pad_mask[start : start + cnt]]
