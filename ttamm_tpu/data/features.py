@@ -292,16 +292,27 @@ def build_user_feature_matrix(
 
     user_idx = interactions["user_idx"].to_numpy(dtype=np.int64)
     item_idx = interactions["item_idx"].to_numpy(dtype=np.int64)
-    rows = item_features[item_idx]
 
     if agg in {"mean", "sum"}:
-        np.add.at(user_features, user_idx, rows)
+        # Sparse user-x-item incidence matmul: duplicates sum, runs at
+        # BLAS-like speed (np.add.at is ~1000x slower at 2M interactions).
+        from scipy import sparse
+
+        incidence = sparse.csr_matrix(
+            (
+                np.ones(len(user_idx), dtype=np.float32),
+                (user_idx, item_idx),
+            ),
+            shape=(num_users, item_features.shape[0]),
+        )
+        pooled = incidence @ item_features
         if agg == "mean":
-            counts = np.zeros((num_users,), dtype=np.float32)
-            np.add.at(counts, user_idx, 1.0)
+            counts = np.asarray(incidence.sum(axis=1)).reshape(-1)
             nonzero = counts > 0
-            user_features[nonzero] /= counts[nonzero, None]
+            pooled[nonzero] /= counts[nonzero, None]
+        user_features = np.asarray(pooled, dtype=np.float32)
     else:  # max
+        rows = item_features[item_idx]
         pooled = np.full((num_users, dim), -np.inf, dtype=np.float32)
         np.maximum.at(pooled, user_idx, rows)
         touched = np.zeros((num_users,), dtype=bool)
