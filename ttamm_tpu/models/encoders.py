@@ -76,6 +76,7 @@ class TowerConfig:
     output_dim: int = 0  # resolved final output dim
     feature_dim: int = 0  # input feature width (0 => id-only tower)
     gate_hidden_dim: int | None = None
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' matmul inputs
 
 
 def _parse_embedding_config(cfg: Mapping[str, Any] | None) -> EmbeddingConfig:
@@ -94,7 +95,10 @@ def _parse_embedding_config(cfg: Mapping[str, Any] | None) -> EmbeddingConfig:
 
 
 def parse_tower_config(
-    config: Mapping[str, Any] | None, *, feature_dim: int
+    config: Mapping[str, Any] | None,
+    *,
+    feature_dim: int,
+    compute_dtype: str = "float32",
 ) -> TowerConfig:
     """Resolve a YAML tower section into a static TowerConfig.
 
@@ -116,6 +120,7 @@ def parse_tower_config(
             fusion="identity",
             output_dim=emb.dim,
             feature_dim=0,
+            compute_dtype=compute_dtype,
         )
 
     emb = _parse_embedding_config(cfg.get("id_embedding", {}))
@@ -176,6 +181,7 @@ def parse_tower_config(
         output_dim=output_dim,
         feature_dim=int(feature_dim),
         gate_hidden_dim=gate_hidden,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -301,6 +307,17 @@ def init_tower(
 # ---------------------------------------------------------------------------
 
 
+def _dot(x: jax.Array, w: jax.Array, compute_dtype: str) -> jax.Array:
+    """Matmul with optional bf16 inputs and fp32 accumulation (MXU path)."""
+    if compute_dtype == "bfloat16":
+        return jnp.dot(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return x @ w
+
+
 def _apply_mlp(
     layers: list[Params],
     x: jax.Array,
@@ -309,12 +326,13 @@ def _apply_mlp(
     dropout: float,
     train: bool,
     dropout_rng: jax.Array | None,
+    compute_dtype: str = "float32",
 ) -> jax.Array:
     """Linear stack with activation+dropout after each hidden layer."""
     act = _ACTIVATIONS[activation]
     n = len(layers)
     for i, layer in enumerate(layers):
-        x = x @ layer["w"] + layer["b"]
+        x = _dot(x, layer["w"], compute_dtype) + layer["b"]
         if i < n - 1:
             x = act(x)
             if train and dropout > 0.0 and dropout_rng is not None:
@@ -344,16 +362,22 @@ def apply_feature_encoder(
         dropout=fe.dropout,
         train=train,
         dropout_rng=dropout_rng,
+        compute_dtype=cfg.compute_dtype,
     )
 
 
-def apply_gate(dense: Params, id_repr: jax.Array, feat_repr: jax.Array) -> jax.Array:
+def apply_gate(
+    dense: Params,
+    id_repr: jax.Array,
+    feat_repr: jax.Array,
+    compute_dtype: str = "float32",
+) -> jax.Array:
     """σ-gate blend: ``g*id + (1-g)*feat`` with g = σ(MLP([id;feat]))
     (``encoders.py:164-168``)."""
     gate_params = dense["gate"]
     h = jnp.concatenate([id_repr, feat_repr], axis=-1)
-    h = jax.nn.relu(h @ gate_params["fc1"]["w"] + gate_params["fc1"]["b"])
-    gate = jax.nn.sigmoid(h @ gate_params["fc2"]["w"] + gate_params["fc2"]["b"])
+    h = jax.nn.relu(_dot(h, gate_params["fc1"]["w"], compute_dtype) + gate_params["fc1"]["b"])
+    gate = jax.nn.sigmoid(_dot(h, gate_params["fc2"]["w"], compute_dtype) + gate_params["fc2"]["b"])
     return gate * id_repr + (1.0 - gate) * feat_repr
 
 
@@ -390,7 +414,7 @@ def tower_forward(
     if cfg.fusion == "concat":
         proj = dense["projection"]
         combined = jnp.concatenate([id_rows, feat_repr], axis=-1)
-        return combined @ proj["w"] + proj["b"]
+        return _dot(combined, proj["w"], cfg.compute_dtype) + proj["b"]
     if cfg.fusion == "gated":
-        return apply_gate(dense, id_rows, feat_repr)
+        return apply_gate(dense, id_rows, feat_repr, cfg.compute_dtype)
     return id_rows

@@ -48,11 +48,22 @@ def parse_model_config(
 ) -> ModelConfig:
     """Resolve the YAML ``model:`` section (ref ``training.py:1243-1296``)."""
     cfg = dict(model_cfg or {})
+    compute_dtype = str(cfg.get("precision", "float32")).lower()
+    if compute_dtype in {"bf16", "bfloat16"}:
+        compute_dtype = "bfloat16"
+    elif compute_dtype in {"fp32", "float32"}:
+        compute_dtype = "float32"
+    else:
+        raise ValueError(f"Unsupported model.precision: {compute_dtype}")
     user_tower = parse_tower_config(
-        cfg.get("user_encoder", {}), feature_dim=user_feature_dim
+        cfg.get("user_encoder", {}),
+        feature_dim=user_feature_dim,
+        compute_dtype=compute_dtype,
     )
     item_tower = parse_tower_config(
-        cfg.get("item_encoder", {}), feature_dim=item_feature_dim
+        cfg.get("item_encoder", {}),
+        feature_dim=item_feature_dim,
+        compute_dtype=compute_dtype,
     )
     similarity = str(cfg.get("similarity", "cosine")).lower()
     if similarity not in {"cosine", "dot"}:
