@@ -482,6 +482,7 @@ def run_single_experiment(
         )
     )
     feature_corr_top_k = int(diag_cfg.get("feature_corr_top_k", 15))
+    profile_dir = diag_cfg.get("profile_dir")  # jax.profiler trace target
 
     monitor_cfg = dict(training_config.get("early_stopping", {}))
     monitor_metric = (
@@ -563,6 +564,9 @@ def run_single_experiment(
         full_count = num_full * batch_size
         u_full = train_users[perm[:full_count]].reshape(num_full, batch_size)
         p_full = train_items[perm[:full_count]].reshape(num_full, batch_size)
+        profiling = bool(profile_dir) and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(str(profile_dir))
         chunk_idx = 0
         for start in range(0, num_full, steps_per_call):
             u_chunk = u_full[start : start + steps_per_call]
@@ -598,6 +602,11 @@ def run_single_experiment(
                 jax.random.fold_in(step_key, 999_983),
             )
             pending.append((metrics["loss"], len(u_rem)))
+
+        if profiling:
+            jax.block_until_ready(pending[-1][0])
+            jax.profiler.stop_trace()
+            logger.info("Wrote profiler trace for epoch %d to %s", epoch, profile_dir)
 
         for loss_dev, n in pending:
             running_loss += float(np.mean(np.asarray(loss_dev))) * n
