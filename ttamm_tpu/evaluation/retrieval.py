@@ -123,19 +123,18 @@ def evaluate_retrieval(
         bcap = max(blocked_cap, 1)
         n = len(users)
         bs = min(user_batch_size, n)
+        blocked_mat = _pad_rows(blocked_lists, bcap, num_items)  # once per eval
+        user_arr = np.asarray(users, np.int32)
         for start in range(0, n, bs):
             chunk_users = users[start : start + bs]
-            pad = bs - len(chunk_users)
-            padded_users = chunk_users + [chunk_users[-1]] * pad
-            u_idx = jnp.asarray(np.asarray(padded_users, np.int32))
-            queries = encode_user_batch(state, data, cfg, u_idx)
-            mask_rows = jnp.asarray(
-                _pad_rows(
-                    [sorted(train_positive_map.get(u, ())) for u in padded_users],
-                    bcap,
-                    num_items,
-                )
+            cnt = len(chunk_users)
+            pad = bs - cnt
+            rows_sel = np.concatenate(
+                [np.arange(start, start + cnt)] + [[start + cnt - 1]] * pad
             )
+            u_idx = jnp.asarray(user_arr[rows_sel])
+            queries = encode_user_batch(state, data, cfg, u_idx)
+            mask_rows = jnp.asarray(blocked_mat[rows_sel])
             scores, idx = mips_topk(
                 queries,
                 item_embeddings,
