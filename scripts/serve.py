@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Serve top-K recommendations from the exported serving bundle.
+
+Batch mode (one userId per line on stdin or via --user-id) over the
+artifacts directory the training pipeline wrote (default
+``artifacts/faiss``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Recommendation serving CLI.")
+    parser.add_argument("--artifacts", type=Path, default=Path("artifacts/faiss"))
+    parser.add_argument("--user-id", action="append", default=None)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument(
+        "--backend", choices=["auto", "native", "numpy"], default="auto"
+    )
+    args = parser.parse_args()
+
+    from ttamm_tpu.serve.service import RetrievalService
+
+    service = RetrievalService.from_artifacts(args.artifacts)
+    user_ids = args.user_id or [line.strip() for line in sys.stdin if line.strip()]
+    for uid in user_ids:
+        try:
+            recs = service.recommend_for_user(uid, k=args.k, backend=args.backend)
+        except KeyError as exc:
+            print(f"{uid}\tERROR\t{exc}")
+            continue
+        formatted = ", ".join(f"{asin}:{score:.4f}" for asin, score in recs)
+        print(f"{uid}\t{formatted}")
+
+
+if __name__ == "__main__":
+    main()

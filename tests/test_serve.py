@@ -80,3 +80,34 @@ def test_query_cli(tmp_path):
     assert len(lines) == 2
     # each query's own row is its top hit for un-normalised self-queries
     assert lines[0].startswith("query 0: 0:")
+
+
+def test_retrieval_service_roundtrip(tmp_path):
+    import json
+
+    rng = np.random.default_rng(7)
+    item_emb = rng.normal(0, 1, (30, 8)).astype(np.float32)
+    user_emb = rng.normal(0, 1, (10, 8)).astype(np.float32)
+    build_flat_index(item_emb, normalize=True).save(tmp_path / "items.index")
+    np.save(tmp_path / "user_embeddings.npy", user_emb)
+    (tmp_path / "vocab.json").write_text(
+        json.dumps(
+            {
+                "user_ids": [f"U{i}" for i in range(10)],
+                "item_ids": [f"A{i}" for i in range(30)],
+                "similarity": "cosine",
+            }
+        )
+    )
+    from ttamm_tpu.serve import RetrievalService
+
+    service = RetrievalService.from_artifacts(tmp_path)
+    recs = service.recommend_for_user("U3", k=5)
+    assert len(recs) == 5
+    assert all(asin.startswith("A") for asin, _ in recs)
+    # exclusion drops items
+    top_idx = int(recs[0][0][1:])
+    recs2 = service.recommend_for_user("U3", k=5, exclude={top_idx})
+    assert recs[0][0] not in [a for a, _ in recs2]
+    with pytest.raises(KeyError):
+        service.recommend_for_user("nobody")

@@ -914,6 +914,28 @@ def run_single_experiment(
         np.save(embedding_path, index.embeddings)
         logger.info("Saved retrieval artifacts to %s / %s", index_path, embedding_path)
 
+        # Serving bundle (beyond the reference, which never exported the
+        # user side): user embeddings + raw-ID vocabularies so the
+        # serve CLI / RetrievalService can answer userId -> top-K ASINs.
+        serve_dir = index_path.parent
+        user_embeddings = np.asarray(
+            encode_corpus(state, data, model_cfg, "user", num_rows=num_users)
+        )
+        np.save(serve_dir / "user_embeddings.npy", user_embeddings)
+        import json as _json
+
+        (serve_dir / "vocab.json").write_text(
+            _json.dumps(
+                {
+                    "user_ids": training_dataset.user_mapping.index_to_id,
+                    "item_ids": training_dataset.item_mapping.index_to_id,
+                    "similarity": model_cfg.similarity,
+                }
+            ),
+            encoding="utf-8",
+        )
+        logger.info("Saved serving bundle to %s", serve_dir)
+
     # ------------------------------------------------------------- reports
     loss_plot_path: Path | None = None
     loss_series = {
