@@ -69,6 +69,7 @@ from ..train.step import (
     TrainStepConfig,
     encode_corpus,
     make_eval_loss_step,
+    make_multi_eval_loss_step,
     make_multi_train_step,
     make_train_step,
 )
@@ -285,19 +286,38 @@ def _log_recommendations(
 
 
 def _dataset_loss(
-    eval_step, state, data, users, items, batch_size, key
+    eval_step, multi_eval_step, state, data, users, items, batch_size, key
 ) -> float:
-    """Sample-weighted mean eval loss over a split (ref ``:836-914``)."""
+    """Sample-weighted mean eval loss over a split (ref ``:836-914``).
+
+    Full batches go through the scanned multi-batch step (one device call);
+    the remainder uses the single step."""
     if len(users) == 0:
         return 0.0
     total = 0.0
     count = 0
-    for start in range(0, len(users), batch_size):
-        u = jnp.asarray(users[start : start + batch_size])
-        p = jnp.asarray(items[start : start + batch_size])
-        loss = eval_step(state, data, u, p, jax.random.fold_in(key, start))
-        total += float(loss) * len(u)
-        count += len(u)
+    num_full = len(users) // batch_size
+    full = num_full * batch_size
+    if num_full > 0:
+        losses = multi_eval_step(
+            state,
+            data,
+            jnp.asarray(users[:full].reshape(num_full, batch_size)),
+            jnp.asarray(items[:full].reshape(num_full, batch_size)),
+            key,
+        )
+        total += float(np.sum(np.asarray(losses))) * batch_size
+        count += full
+    if full < len(users):
+        loss = eval_step(
+            state,
+            data,
+            jnp.asarray(users[full:]),
+            jnp.asarray(items[full:]),
+            jax.random.fold_in(key, 999_999),
+        )
+        total += float(loss) * (len(users) - full)
+        count += len(users) - full
     return total / max(count, 1)
 
 
@@ -443,6 +463,7 @@ def run_single_experiment(
     multi_step = make_multi_train_step(model_cfg, tscfg)
     steps_per_call = max(1, int(training_config.get("steps_per_call", 16)))
     eval_step = make_eval_loss_step(model_cfg, tscfg)
+    multi_eval_step = make_multi_eval_loss_step(model_cfg, tscfg)
     logger.info(
         "Tower configuration | dim=%d | similarity=%s | mimic=%s | sparse tables=%s",
         model_cfg.embedding_dim,
@@ -637,8 +658,8 @@ def run_single_experiment(
 
         if len(val_users):
             val_loss_value = _dataset_loss(
-                eval_step, state, data, val_users, val_items, batch_size,
-                jax.random.fold_in(step_key, 7_000_003),
+                eval_step, multi_eval_step, state, data, val_users, val_items,
+                batch_size, jax.random.fold_in(step_key, 7_000_003),
             )
             rng = np.random.default_rng(rng_seed * 997 + epoch)
             val_predictions, val_ground_truth = evaluate_retrieval(
@@ -674,8 +695,8 @@ def run_single_experiment(
 
         if len(test_users):
             test_loss_value = _dataset_loss(
-                eval_step, state, data, test_users, test_items, batch_size,
-                jax.random.fold_in(step_key, 9_000_001),
+                eval_step, multi_eval_step, state, data, test_users, test_items,
+                batch_size, jax.random.fold_in(step_key, 9_000_001),
             )
             history.test_loss.append(float(test_loss_value))
             rng = np.random.default_rng(rng_seed * 199 + epoch)

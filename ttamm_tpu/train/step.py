@@ -305,6 +305,27 @@ def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def make_multi_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
+    """Scanned eval loss over K stacked batches: ``(state, data,
+    u_all [K, B], p_all [K, B], rng) -> losses [K]``."""
+    single = make_eval_loss_step(cfg, tscfg)
+    raw = single.__wrapped__
+
+    def multi(state: TrainState, data: BatchData, u_all, p_all, rng):
+        steps = u_all.shape[0]
+
+        def body(_, xs):
+            u, p, i = xs
+            return None, raw(state, data, u, p, jax.random.fold_in(rng, i))
+
+        _, losses = jax.lax.scan(
+            body, None, (u_all, p_all, jnp.arange(steps, dtype=jnp.int32))
+        )
+        return losses
+
+    return jax.jit(multi)
+
+
 def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     """Build the jitted eval-loss step: plain BCE on the [pos; sampled-neg]
     stack, no dropout, no auxiliary loss terms (ref ``training.py:836-914``).
