@@ -437,9 +437,13 @@ def run_single_experiment(
     state = create_train_state(
         root_key, model_cfg, num_users=num_users, num_items=num_items
     )
+    loss_type = str(training_config.get("loss", "bce")).lower()
+    if loss_type not in {"bce", "in_batch_softmax"}:
+        raise ValueError(f"Unsupported training.loss: {loss_type}")
     tscfg = TrainStepConfig(
         num_items=num_items,
         negatives_per_positive=negatives_per_positive,
+        loss_type=loss_type,
         lambda_mimic_user=float(loss_weights.get("mimic_user", 0.0)),
         lambda_mimic_item=float(loss_weights.get("mimic_item", 0.0)),
         lambda_category_alignment=float(loss_weights.get("category_alignment", 0.0)),

@@ -42,6 +42,7 @@ Params = dict[str, Any]
 class TrainStepConfig(NamedTuple):
     num_items: int
     negatives_per_positive: int = 5
+    loss_type: str = "bce"  # 'bce' (sampled negatives) | 'in_batch_softmax'
     lambda_mimic_user: float = 0.0
     lambda_mimic_item: float = 0.0
     lambda_category_alignment: float = 0.0
@@ -118,7 +119,11 @@ def _forward_embeddings(
     else:
         user_emb, pos_emb, neg_emb = user_base, pos_base, neg_base
 
-    neg_emb = neg_emb.reshape(batch, num_neg, -1)
+    dim = pos_emb.shape[-1]
+    if tscfg.loss_type == "in_batch_softmax":
+        neg_emb = neg_emb.reshape(batch, 0, dim)
+    else:
+        neg_emb = neg_emb.reshape(batch, num_neg, dim)
     return user_emb, pos_emb, neg_emb, mimic_user_loss, mimic_item_loss
 
 
@@ -134,6 +139,19 @@ def _bce_stack(pos_logits, neg_logits):
         [jnp.ones_like(pos_logits), jnp.zeros_like(neg_logits.reshape(-1))]
     )
     return bce_with_logits(logits, labels)
+
+
+def _in_batch_softmax_loss(user_emb, pos_emb, pos_idx):
+    """Sampled-softmax with in-batch negatives: every other row's positive
+    item is a negative; rows whose item equals this row's item are masked
+    (accidental hits) rather than treated as negatives."""
+    logits = jnp.dot(user_emb, pos_emb.T, preferred_element_type=jnp.float32)
+    same_item = pos_idx[:, None] == pos_idx[None, :]
+    eye = jnp.eye(pos_idx.shape[0], dtype=bool)
+    mask = same_item & ~eye  # duplicate items elsewhere in batch
+    logits = jnp.where(mask, jnp.finfo(logits.dtype).min, logits)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.diagonal(log_probs))
 
 
 def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
@@ -164,8 +182,11 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
             u_idx, pos_idx, neg_idx_flat, user_rows, item_rows_all,
             train=True, dropout_rng=dropout_rng,
         )
-        pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
-        retrieval_loss = _bce_stack(pos_logits, neg_logits)
+        if tscfg.loss_type == "in_batch_softmax":
+            retrieval_loss = _in_batch_softmax_loss(user_emb, pos_emb, pos_idx)
+        else:
+            pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
+            retrieval_loss = _bce_stack(pos_logits, neg_logits)
 
         total = retrieval_loss
         if cfg.mimic_enabled and tscfg.lambda_mimic_user > 0:
@@ -198,15 +219,18 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     @jax.jit
     def train_step(state: TrainState, data: BatchData, u_idx, pos_idx, rng):
         rng_neg, rng_drop = jax.random.split(rng)
-        user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
-        neg = sample_negative_items(
-            rng_neg,
-            user_pos,
-            num_items=tscfg.num_items,
-            num_negatives=tscfg.negatives_per_positive,
-            num_rounds=tscfg.sampling_rounds,
-        )
-        neg_flat = neg.reshape(-1)
+        if tscfg.loss_type == "in_batch_softmax":
+            neg_flat = jnp.zeros((0,), jnp.int32)
+        else:
+            user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
+            neg = sample_negative_items(
+                rng_neg,
+                user_pos,
+                num_items=tscfg.num_items,
+                num_negatives=tscfg.negatives_per_positive,
+                num_rounds=tscfg.sampling_rounds,
+            )
+            neg_flat = neg.reshape(-1)
         item_idx_all = jnp.concatenate([pos_idx, neg_flat])
 
         diff = {
@@ -333,15 +357,18 @@ def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
 
     @jax.jit
     def eval_loss_step(state: TrainState, data: BatchData, u_idx, pos_idx, rng):
-        user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
-        neg = sample_negative_items(
-            rng,
-            user_pos,
-            num_items=tscfg.num_items,
-            num_negatives=tscfg.negatives_per_positive,
-            num_rounds=tscfg.sampling_rounds,
-        )
-        neg_flat = neg.reshape(-1)
+        if tscfg.loss_type == "in_batch_softmax":
+            neg_flat = jnp.zeros((0,), jnp.int32)
+        else:
+            user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
+            neg = sample_negative_items(
+                rng,
+                user_pos,
+                num_items=tscfg.num_items,
+                num_negatives=tscfg.negatives_per_positive,
+                num_rounds=tscfg.sampling_rounds,
+            )
+            neg_flat = neg.reshape(-1)
         item_idx_all = jnp.concatenate([pos_idx, neg_flat])
 
         user_rows = jnp.take(state.tables["user_id"], u_idx, axis=0)
@@ -351,6 +378,8 @@ def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
             u_idx, pos_idx, neg_flat, user_rows, item_rows_all,
             train=False, dropout_rng=None,
         )
+        if tscfg.loss_type == "in_batch_softmax":
+            return _in_batch_softmax_loss(user_emb, pos_emb, pos_idx)
         pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
         return _bce_stack(pos_logits, neg_logits)
 
