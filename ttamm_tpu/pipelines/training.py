@@ -158,10 +158,11 @@ def _seed_everything(seed: int) -> None:
     np.random.seed(seed)
 
 
-def _clone_state_host(state: TrainState) -> TrainState:
-    """Host-side deep copy (the reference's in-memory best-state clone,
-    ref ``training.py:141-147``)."""
-    return jax.tree.map(lambda leaf: np.asarray(leaf).copy(), state)
+def _clone_state_device(state: TrainState) -> TrainState:
+    """Device-side deep copy of the best state (the reference clones to CPU,
+    ref ``training.py:141-147``; on TPU a device copy avoids a full
+    host transfer per improvement — HBM holds two states comfortably)."""
+    return jax.tree.map(jnp.copy, state)
 
 
 def _state_to_device(state: TrainState) -> TrainState:
@@ -757,7 +758,7 @@ def run_single_experiment(
         )
 
         if improved:
-            best_state = _clone_state_host(state)
+            best_state = _clone_state_device(state)
             best_val_metrics = val_metrics or last_val_metrics
             best_test_metrics = last_test_metrics
             if checkpoint_enabled:
@@ -811,7 +812,7 @@ def run_single_experiment(
 
     # -------------------------------------------------------------- finalize
     if best_state is not None:
-        state = _state_to_device(best_state)
+        state = best_state
     elif last_checkpoint_path is not None and best_checkpoint_path is None:
         best_checkpoint_path = last_checkpoint_path
 
