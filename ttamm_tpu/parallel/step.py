@@ -22,10 +22,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.two_tower import ModelConfig
-from ..ops.topk import NEG_INF, mips_topk
+from ..ops.topk import mips_topk
 from ..train.state import BatchData, TrainState
 from ..train.step import TrainStepConfig, make_train_step
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import MODEL_AXIS
 from .sharding import batch_sharding, data_shardings, state_shardings
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..models.two_tower import ModelConfig, init_model
 from ..ops.sparse_adam import SparseAdamState, init_sparse_adam
-from .optim import DenseOptConfig, DenseOptState, init_dense_opt
+from .optim import DenseOptState, init_dense_opt
 
 Params = dict[str, Any]
 
