@@ -29,6 +29,18 @@ REFERENCE_EXAMPLES_PER_S = 7 * 2_000_000 / 996.0
 
 def main() -> None:
     import jax
+
+    # The remote-TPU backend occasionally fails to initialize transiently;
+    # retry a few times before giving up.
+    for attempt in range(3):
+        try:
+            jax.devices()
+            break
+        except RuntimeError:
+            if attempt == 2:
+                raise
+            time.sleep(10)
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _model_cfg_dict
@@ -49,7 +61,7 @@ def main() -> None:
     num_items = int(os.environ.get("BENCH_ITEMS", 100_000))
     feat = int(os.environ.get("BENCH_FEATURES", 608))
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    steps = int(os.environ.get("BENCH_STEPS", 30))
+    steps = int(os.environ.get("BENCH_STEPS", 100))
     dim = int(os.environ.get("BENCH_DIM", 128))
     query_batches = int(os.environ.get("BENCH_QUERY_BATCHES", 10))
     neg = 5
