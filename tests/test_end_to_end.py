@@ -169,3 +169,15 @@ def test_resume_from_checkpoint(synth_dir, tmp_path):
     result2 = run_training(config2)
     # resumed run trains only epoch 2
     assert len(result2.history.train_loss) == 1
+
+
+def test_end_to_end_with_mesh(synth_dir, tmp_path):
+    """Full pipeline with a 4x2 mesh over the virtual 8-device CPU set."""
+    artifact_dir = tmp_path / "artifacts"
+    config = _config(synth_dir, artifact_dir)
+    config["training"]["num_epochs"] = 1
+    config["mesh"] = {"data_parallel": 4, "model_parallel": 2}
+    result = run_training(config)
+    assert result.best_metric is not None
+    assert np.isfinite(result.history.train_loss).all()
+    assert (artifact_dir / "report.md").exists()

@@ -438,6 +438,36 @@ def run_single_experiment(
     state = create_train_state(
         root_key, model_cfg, num_users=num_users, num_items=num_items
     )
+
+    # Mesh placement (config `mesh:`; 1x1 = single device, no-op). With the
+    # state/data placed on a (data, model) mesh the SAME jitted steps below
+    # run sharded — XLA infers layouts from the input shardings and inserts
+    # the collectives (see parallel/ and docs/architecture.md).
+    from ..parallel import (
+        MeshConfig,
+        build_mesh,
+        pad_batch_data,
+        pad_state_rows,
+        place_data,
+        place_state,
+    )
+
+    mesh_cfg_raw = dict(config.get("mesh", {}) or {})
+    mesh_cfg = MeshConfig(
+        data_parallel=int(mesh_cfg_raw.get("data_parallel", 1)),
+        model_parallel=int(mesh_cfg_raw.get("model_parallel", 1)),
+    )
+    if mesh_cfg.num_devices > 1:
+        mesh = build_mesh(mesh_cfg)
+        state = place_state(mesh, pad_state_rows(state, mesh_cfg.model_parallel))
+        data = place_data(mesh, pad_batch_data(data, mesh_cfg.model_parallel))
+        logger.info(
+            "Mesh | data_parallel=%d model_parallel=%d devices=%d",
+            mesh_cfg.data_parallel,
+            mesh_cfg.model_parallel,
+            mesh_cfg.num_devices,
+        )
+
     loss_type = str(training_config.get("loss", "bce")).lower()
     if loss_type not in {"bce", "in_batch_softmax"}:
         raise ValueError(f"Unsupported training.loss: {loss_type}")
