@@ -181,3 +181,18 @@ def test_end_to_end_with_mesh(synth_dir, tmp_path):
     assert result.best_metric is not None
     assert np.isfinite(result.history.train_loss).all()
     assert (artifact_dir / "report.md").exists()
+
+
+def test_dataset_cache_reused(synth_dir, tmp_path):
+    artifact_dir = tmp_path / "artifacts"
+    config = _config(synth_dir, artifact_dir)
+    config["training"]["num_epochs"] = 1
+    config["data"]["use_cache"] = True
+    config["data"]["cache_dir"] = str(tmp_path / "cache")
+    r1 = run_training(config)
+    caches = list((tmp_path / "cache").glob("dataset_*.pkl"))
+    assert len(caches) == 1
+    # second run hits the cache and reproduces identical metrics
+    r2 = run_training(config)
+    assert r2.best_metric == r1.best_metric
+    assert len(list((tmp_path / "cache").glob("dataset_*.pkl"))) == 1

@@ -341,21 +341,54 @@ def run_single_experiment(
     # ------------------------------------------------------------------ data
     data_config = dict(config.get("data", {}))
     data_dir = Path(data_config.get("root", "data"))
-    logger.info("Loading raw datasets from %s", data_dir)
-    dataset = load_dataset(
-        data_dir,
-        books_file=data_config.get("books_file"),
-        interactions_file=data_config.get("users_file"),
-        books_limit=data_config.get("books_limit"),
-        interactions_limit=data_config.get("interactions_limit"),
+
+    from ..data.cache import (
+        cache_path,
+        dataset_cache_key,
+        load_training_dataset,
+        save_training_dataset,
     )
-    training_dataset = build_training_dataset(
-        dataset,
-        stage="train",
-        feature_config=data_config.get("feature_params", {}),
-        min_user_interactions=int(data_config.get("min_user_interactions", 0)),
-        min_item_interactions=int(data_config.get("min_item_interactions", 0)),
+
+    use_cache = bool(data_config.get("use_cache", False))
+    cache_dir = Path(data_config.get("cache_dir", "artifacts/cache"))
+    cache_key = (
+        dataset_cache_key(
+            data_dir,
+            books_file=data_config.get("books_file"),
+            users_file=data_config.get("users_file"),
+            books_limit=data_config.get("books_limit"),
+            interactions_limit=data_config.get("interactions_limit"),
+            min_user_interactions=int(data_config.get("min_user_interactions", 0)),
+            min_item_interactions=int(data_config.get("min_item_interactions", 0)),
+            feature_config=data_config.get("feature_params", {}),
+        )
+        if use_cache
+        else None
     )
+    training_dataset = None
+    if cache_key is not None:
+        training_dataset = load_training_dataset(cache_path(cache_dir, cache_key))
+
+    if training_dataset is None:
+        logger.info("Loading raw datasets from %s", data_dir)
+        dataset = load_dataset(
+            data_dir,
+            books_file=data_config.get("books_file"),
+            interactions_file=data_config.get("users_file"),
+            books_limit=data_config.get("books_limit"),
+            interactions_limit=data_config.get("interactions_limit"),
+        )
+        training_dataset = build_training_dataset(
+            dataset,
+            stage="train",
+            feature_config=data_config.get("feature_params", {}),
+            min_user_interactions=int(data_config.get("min_user_interactions", 0)),
+            min_item_interactions=int(data_config.get("min_item_interactions", 0)),
+        )
+        if cache_key is not None:
+            save_training_dataset(
+                training_dataset, cache_path(cache_dir, cache_key)
+            )
     num_users = len(training_dataset.user_mapping)
     num_items = len(training_dataset.item_mapping)
     logger.info(
