@@ -1,3 +1,4 @@
+from .launch import is_primary_host, maybe_initialize_distributed
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -19,6 +20,8 @@ from .step import make_sharded_train_step, sharded_mips_topk
 
 __all__ = [
     "DATA_AXIS",
+    "is_primary_host",
+    "maybe_initialize_distributed",
     "MODEL_AXIS",
     "MeshConfig",
     "batch_sharding",

@@ -485,7 +485,10 @@ def run_single_experiment(
         place_state,
     )
 
+    from ..parallel import maybe_initialize_distributed
+
     mesh_cfg_raw = dict(config.get("mesh", {}) or {})
+    maybe_initialize_distributed(bool(mesh_cfg_raw.get("multi_host", False)))
     mesh_cfg = MeshConfig(
         data_parallel=int(mesh_cfg_raw.get("data_parallel", 1)),
         model_parallel=int(mesh_cfg_raw.get("model_parallel", 1)),
