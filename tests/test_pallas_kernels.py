@@ -61,3 +61,54 @@ def test_sparse_adam_pallas_path_matches_xla():
     assert np.allclose(np.asarray(t_x), np.asarray(t_p), atol=1e-6)
     assert np.allclose(np.asarray(s_x.m), np.asarray(s_p.m), atol=1e-6)
     assert np.allclose(np.asarray(s_x.v), np.asarray(s_p.v), atol=1e-6)
+
+
+def test_segment_second_moments_matches_einsum():
+    from ttamm_tpu.ops.pallas.category_stats import segment_second_moments
+
+    rng = np.random.default_rng(3)
+    n, c, d = 300, 8, 128  # non-multiple of the 128-row block (pads)
+    x = jnp.asarray(rng.normal(0, 1, (n, d)).astype(np.float32))
+    cats = rng.integers(0, c, n)
+    sel = jnp.asarray((cats[None, :] == np.arange(c)[:, None]).astype(np.float32))
+    m2 = segment_second_moments(sel, x, True)  # interpret mode on CPU
+    want = np.einsum("cn,nd,ne->cde", np.asarray(sel), np.asarray(x), np.asarray(x))
+    # bf16 products with f32 accumulation: ~0.4% relative error
+    assert np.allclose(np.asarray(m2), want, rtol=2e-2, atol=0.3)
+
+
+def test_segment_second_moments_grad_matches_xla_loss():
+    from ttamm_tpu.ops.losses import category_alignment_loss
+
+    rng = np.random.default_rng(4)
+    n, c, d = 256, 8, 128
+    x = jnp.asarray(rng.normal(0, 1, (n, d)).astype(np.float32))
+    cats = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
+
+    # Kernel path in interpret mode (monkeypatch the pallas entry).
+    import ttamm_tpu.ops.pallas.category_stats as cs
+
+    orig = cs.segment_second_moments
+
+    def interp(sel, xx, interpret=False):
+        return orig(sel, xx, True)
+
+    val_x, grad_x = jax.value_and_grad(
+        lambda e: category_alignment_loss(cats, e, max_categories=c)
+    )(x)
+    cs_loss = lambda e: category_alignment_loss(
+        cats, e, max_categories=c, use_pallas=True
+    )
+    import ttamm_tpu.ops.losses as losses_mod
+
+    try:
+        cs.segment_second_moments = interp
+        # losses.py imports inside the function body, so patching the module
+        # attribute is enough.
+        val_p, grad_p = jax.value_and_grad(cs_loss)(x)
+    finally:
+        cs.segment_second_moments = orig
+
+    assert np.allclose(float(val_x), float(val_p), rtol=5e-3)
+    scale = np.max(np.abs(np.asarray(grad_x))) + 1e-9
+    assert np.max(np.abs(np.asarray(grad_x) - np.asarray(grad_p))) / scale < 2e-2

@@ -517,10 +517,16 @@ def run_single_experiment(
         gradient_clip_norm=(
             float(gradient_clip_norm) if gradient_clip_norm is not None else None
         ),
+        # Default rounds up to a multiple of 8 so the tile-aligned Pallas
+        # second-moments kernel is eligible on TPU; the padding category
+        # ids never occur, contribute zero counts, and are mathematically
+        # inert (the loss averages only categories with >=2 batch members).
         cal_max_categories=int(
             training_config.get(
                 "category_alignment_max_categories",
-                min(64, len(categories.category_names)) if categories else 0,
+                min(64, -(-len(categories.category_names) // 8) * 8)
+                if categories
+                else 0,
             )
         ),
         # Per-row DMA kernels are available behind this flag; measured on

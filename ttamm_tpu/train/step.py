@@ -50,6 +50,11 @@ class TrainStepConfig(NamedTuple):
     cal_max_categories: int = 64
     sampling_rounds: int = 8
     use_pallas: bool = False  # per-row DMA kernels for sparse-adam (TPU only)
+    # Category-alignment second moments via the VMEM-accumulating Pallas
+    # kernel (ops/pallas/category_stats.py). None = auto: on for TPU
+    # backends, off elsewhere (the kernel needs Mosaic; numerics match
+    # XLA's default bf16 TPU dot precision).
+    cal_use_pallas: bool | None = None
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -161,6 +166,9 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     dense_tbl_names = dense_table_names(cfg)
     sparse_lr = tscfg.opt.lr
     b1, b2 = tscfg.opt.b1, tscfg.opt.b2
+    cal_pallas = tscfg.cal_use_pallas
+    if cal_pallas is None:
+        cal_pallas = jax.default_backend() == "tpu"
 
     def loss_fn(diff, data, u_idx, pos_idx, neg_idx_flat, dropout_rng):
         dense = diff["dense"]
@@ -202,7 +210,10 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
                 [pos_emb, neg_emb.reshape(-1, pos_emb.shape[-1])], axis=0
             )
             cal_loss = category_alignment_loss(
-                cats, embs, max_categories=tscfg.cal_max_categories
+                cats,
+                embs,
+                max_categories=tscfg.cal_max_categories,
+                use_pallas=cal_pallas,
             )
             total = total + tscfg.lambda_category_alignment * cal_loss
 
