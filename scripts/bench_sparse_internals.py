@@ -85,3 +85,58 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def extra() -> None:
+    """Cost-model probes: per-row vs per-byte, pallas DMA vs XLA gather."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n, rows = 12288, 100_001
+    idx = jnp.asarray(rng.integers(0, rows - 1, (n,), dtype=np.int32))
+    sorted_idx = jnp.sort(idx)
+    res = {}
+    for dim in (128, 384):
+        table = jnp.asarray(rng.standard_normal((rows, dim), dtype=np.float32))
+        grads = jnp.asarray(rng.standard_normal((n, dim), dtype=np.float32))
+        res[f"gather_d{dim}"] = timeit(
+            lambda t, i, c: t[i + c.astype(jnp.int32)][0, 0], table, idx
+        )
+        res[f"scatter_add_sorted_d{dim}"] = timeit(
+            lambda t, i, g, c: t.at[i].add(g + c, indices_are_sorted=True)[0, 0],
+            table, sorted_idx, grads,
+        )
+    # pallas row kernels
+    from ttamm_tpu.ops.pallas.rows import gather_rows, scatter_set_rows
+
+    table = jnp.asarray(rng.standard_normal((rows, 128), dtype=np.float32))
+    res["pallas_gather_d128_b256"] = timeit(
+        lambda t, i, c: gather_rows(t, i, block=256)[0, 0] + c * 0, table, idx
+    )
+    rows_data = jnp.asarray(rng.standard_normal((n, 128), dtype=np.float32))
+    res["pallas_scatter_set_d128"] = timeit(
+        lambda t, i, g, c: scatter_set_rows(t, i, g + c, block=256)[0, 0],
+        table, sorted_idx, rows_data,
+    )
+    # full coalesce chain (sort+perm+segsum+gather-back)
+    def chain(i, g, c):
+        i = i + c.astype(jnp.int32)
+        order = jnp.argsort(i)
+        si = i[order]
+        sg = g[order]
+        prev = jnp.concatenate([jnp.array([-1], si.dtype), si[:-1]])
+        head = si != prev
+        seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+        summed = jax.ops.segment_sum(sg, seg, num_segments=n)
+        return summed[seg][0, 0]
+
+    grads = jnp.asarray(rng.standard_normal((n, 128), dtype=np.float32))
+    res["coalesce_chain_d128"] = timeit(chain, idx, grads)
+
+    for k, v in res.items():
+        print(f"{k:28s} {v:8.3f} ms")
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    extra()

@@ -142,3 +142,38 @@ def test_category_alignment_matches_numpy_reference():
     expected = total / compared
     got = float(category_alignment_loss(jnp.asarray(cats), jnp.asarray(embs), max_categories=3))
     assert got == pytest.approx(expected, rel=1e-4)
+
+
+def test_mips_topk_group_exact_matches_chunked():
+    rng = np.random.default_rng(7)
+    items = rng.normal(0, 1, (1000, 16)).astype(np.float32)  # pads to 8 groups
+    queries = rng.normal(0, 1, (17, 16)).astype(np.float32)
+    for k in (1, 5, 130):  # 130 > number of groups (8) exercises k > NG
+        sg, ig = mips_topk(
+            jnp.asarray(queries), jnp.asarray(items), k=k, algorithm="group_exact"
+        )
+        sc, ic = mips_topk(
+            jnp.asarray(queries), jnp.asarray(items), k=k,
+            chunk_size=256, algorithm="chunked",
+        )
+        assert np.allclose(np.asarray(sg), np.asarray(sc), atol=1e-5)
+        assert np.array_equal(np.sort(np.asarray(ig)), np.sort(np.asarray(ic)))
+
+
+def test_mips_topk_group_exact_with_ties_and_mask():
+    rng = np.random.default_rng(8)
+    items = np.repeat(rng.normal(0, 1, (50, 8)), 3, axis=0).astype(np.float32)
+    queries = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    mask = np.full((4, 6), 150, np.int32)
+    mask[0, :3] = [0, 1, 2]  # block one full tied triple for query 0
+    sg, ig = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=9,
+        mask_rows=jnp.asarray(mask), algorithm="group_exact",
+    )
+    sc, _ = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=9,
+        mask_rows=jnp.asarray(mask), chunk_size=32, algorithm="chunked",
+    )
+    # tied scores make index sets ambiguous; the score multisets must match
+    assert np.allclose(np.sort(np.asarray(sg)), np.sort(np.asarray(sc)), atol=1e-5)
+    assert not np.isin(np.asarray(ig[0]), [0, 1, 2]).any()

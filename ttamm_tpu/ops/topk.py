@@ -37,7 +37,16 @@ def _merge_topk(
     return top_scores, top_idx
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size", "normalize_queries"))
+# Full-score materialisation budget for the group-pruned exact algorithm;
+# above this the scanning algorithm is used instead (it never materialises
+# more than one [B, chunk] score block).
+_SCORES_BYTES_BUDGET = 768 * 1024 * 1024
+_GROUP = 128  # items per group (one lane tile)
+
+
+@partial(
+    jax.jit, static_argnames=("k", "chunk_size", "normalize_queries", "algorithm")
+)
 def mips_topk(
     queries: jax.Array,
     item_embeddings: jax.Array,
@@ -46,6 +55,7 @@ def mips_topk(
     chunk_size: int = 8192,
     mask_rows: jax.Array | None = None,
     normalize_queries: bool = False,
+    algorithm: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search.
 
@@ -54,13 +64,20 @@ def mips_topk(
     queries: float [B, D] query embeddings.
     item_embeddings: float [N, D] item matrix (pre-normalised for cosine).
     k: number of results per query (static).
-    chunk_size: items scored per scan step (static; rounded into the corpus).
+    chunk_size: items scored per scan step (static; rounded into the corpus;
+        scanning algorithm only).
     mask_rows: optional int32 [B, M] per-query item ids to exclude
         (padded with an id >= N). Matching scores are set to -inf, which
         reproduces the reference's "filter blocked then take top"
         (``training.py:958-968``) since its search depth always covers the
         blocked count.
     normalize_queries: L2-normalise queries first (cosine mode).
+    algorithm: 'auto' | 'group_exact' | 'chunked'. ``group_exact`` is the
+        group-max-pruned single-matmul algorithm (~4.5x faster on v5e,
+        still exact — see :func:`_group_exact_topk`); ``chunked`` is the
+        scanning chunk+merge algorithm with O(B*chunk) score memory.
+        ``auto`` picks group_exact whenever the [B, N] score matrix fits
+        the budget.
 
     Returns
     -------
@@ -74,6 +91,15 @@ def mips_topk(
         )
 
     k_eff = min(k, num_items)
+    if algorithm not in {"auto", "group_exact", "chunked"}:
+        raise ValueError(f"Unknown mips_topk algorithm: {algorithm}")
+    if algorithm == "auto":
+        fits = batch * (num_items + _GROUP) * 4 <= _SCORES_BYTES_BUDGET
+        algorithm = "group_exact" if fits else "chunked"
+    if algorithm == "group_exact":
+        return _group_exact_topk(
+            queries, item_embeddings, k_eff, mask_rows, num_items
+        )
     chunk = min(chunk_size, max(num_items, 1))
     num_chunks = -(-num_items // chunk)
     padded = num_chunks * chunk
@@ -111,6 +137,56 @@ def mips_topk(
     chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
     (scores, indices), _ = jax.lax.scan(scan_body, init, (items_t, chunk_starts))
     return scores, indices
+
+
+def _group_exact_topk(
+    queries: jax.Array,
+    item_embeddings: jax.Array,
+    k_eff: int,
+    mask_rows: jax.Array | None,
+    num_items: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Group-max-pruned exact top-k.
+
+    One [B, D] x [D, N] matmul materialises all scores, then:
+
+    1. reduce scores to per-group maxima over groups of G=128 items;
+    2. take the top-k *groups* by maximum. Every true top-k item's group
+       has max >= s_k (the k-th best score), and at most k groups can have
+       max >= s_k (each contains an item scoring >= s_k, of which there
+       are exactly k) — so the true top-k items all live in these groups;
+    3. gather the k selected groups' scores and take the final top-k.
+
+    This replaces the per-chunk ``lax.top_k`` over [B, chunk] (the
+    bottleneck of the scanning algorithm: TPU top-k over wide rows is
+    sort-based) with one cheap max-reduce + two narrow top-ks. Exact with
+    respect to the computed scores, including ties. ~4.5x faster than the
+    scanning algorithm at B=1024, N=100k on v5e.
+    """
+    batch = queries.shape[0]
+    g = _GROUP
+    ng = -(-num_items // g)
+    padded = ng * g
+
+    s = jnp.dot(queries, item_embeddings.T, preferred_element_type=jnp.float32)
+    if mask_rows is not None:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, num_items), 1)
+        blocked = jnp.any(
+            ids[:, :, None] == mask_rows[:, None, :], axis=-1
+        )  # [B, N]
+        s = jnp.where(blocked, NEG_INF, s)
+    if padded != num_items:
+        pad = jnp.full((batch, padded - num_items), NEG_INF, jnp.float32)
+        s = jnp.concatenate([s, pad], axis=1)
+    sg = s.reshape(batch, ng, g)
+
+    k_groups = min(k_eff, ng)
+    gmax = jnp.max(sg, axis=-1)  # [B, NG]
+    _, gi = jax.lax.top_k(gmax, k_groups)  # [B, k]
+    cand = jnp.take_along_axis(sg, gi[:, :, None], axis=1)  # [B, k, G]
+    cv, ci = jax.lax.top_k(cand.reshape(batch, k_groups * g), k_eff)
+    group_of = jnp.take_along_axis(gi, ci // g, axis=1)
+    return cv, group_of * g + ci % g
 
 
 def topk_with_mask(
