@@ -28,7 +28,7 @@ def main() -> None:
     )
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument(
-        "--backend", choices=["auto", "native", "numpy"], default="auto"
+        "--backend", choices=["auto", "device", "native", "numpy"], default="auto"
     )
     args = parser.parse_args()
 
@@ -36,7 +36,7 @@ def main() -> None:
 
     index = FlatIndex.load(args.index)
     queries = np.load(args.queries)
-    backend = "numpy" if args.backend == "numpy" else args.backend
+    backend = args.backend
     scores, indices = index.search(queries, args.k, backend=backend)
     for row in range(indices.shape[0]):
         pairs = ", ".join(

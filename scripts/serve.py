@@ -23,7 +23,7 @@ def main() -> None:
     parser.add_argument("--user-id", action="append", default=None)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument(
-        "--backend", choices=["auto", "native", "numpy"], default="auto"
+        "--backend", choices=["auto", "device", "native", "numpy"], default="auto"
     )
     args = parser.parse_args()
 

@@ -111,3 +111,42 @@ def test_retrieval_service_roundtrip(tmp_path):
     assert recs[0][0] not in [a for a, _ in recs2]
     with pytest.raises(KeyError):
         service.recommend_for_user("nobody")
+
+
+def test_device_backend_raises_without_accelerator():
+    import pytest
+
+    from ttamm_tpu.serve.flat_index import build_flat_index
+
+    rng = np.random.default_rng(5)
+    idx = build_flat_index(rng.normal(0, 1, (64, 8)).astype(np.float32))
+    q = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    # Tests force the CPU platform, so the strict device backend must raise.
+    with pytest.raises(Exception):
+        idx.search(q, 5, backend="device")
+    # ... while auto (even above the batch gate) silently falls through.
+    qbig = rng.normal(0, 1, (64, 8)).astype(np.float32)
+    scores, indices = idx.search(qbig, 5, backend="auto")
+    assert scores.shape == (64, 5)
+
+
+def test_device_backend_wiring_matches_numpy(monkeypatch):
+    import ttamm_tpu.serve.flat_index as fi
+
+    rng = np.random.default_rng(6)
+    idx = fi.build_flat_index(rng.normal(0, 1, (300, 16)).astype(np.float32))
+    q = rng.normal(0, 1, (7, 16)).astype(np.float32)
+
+    def fake_device_search(self, queries, k):
+        import jax.numpy as jnp
+
+        from ttamm_tpu.ops.topk import mips_topk
+
+        s, i = mips_topk(jnp.asarray(queries), jnp.asarray(self.embeddings), k=k)
+        return np.asarray(s), np.asarray(i).astype(np.int64)
+
+    monkeypatch.setattr(fi.FlatIndex, "_device_search", fake_device_search)
+    s_d, i_d = idx.search(q, 5, backend="device")
+    s_n, i_n = idx.search(q, 5, backend="numpy")
+    assert np.allclose(s_d, s_n, atol=1e-5)
+    assert np.array_equal(np.sort(i_d), np.sort(i_n))

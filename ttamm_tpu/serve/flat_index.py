@@ -44,10 +44,24 @@ class FlatIndex:
     def __len__(self) -> int:
         return int(self.embeddings.shape[0])
 
+    # Minimum batch for 'auto' to prefer the device backend: per-call
+    # dispatch overhead only amortises over batched queries (and on this
+    # dev box the tunnel adds 0.1-1 s per call); explicit backend='device'
+    # has no such gate.
+    _AUTO_DEVICE_MIN_BATCH = 32
+
     def search(
         self, queries: np.ndarray, k: int, *, backend: str = "auto"
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k by inner product. Returns (scores [B,k], indices [B,k])."""
+        """Top-k by inner product. Returns (scores [B,k], indices [B,k]).
+
+        backend: 'auto' | 'device' | 'native' | 'numpy'. 'device' runs the
+        exact group-pruned MIPS kernel (``ttamm_tpu.ops.topk``) on an
+        attached TPU/GPU with the index cached in device memory; 'native'
+        is the multithreaded C++ searcher; 'numpy' the blocked fallback.
+        'auto' picks device (accelerator attached and batch >= 32) ->
+        native -> numpy.
+        """
         queries = np.ascontiguousarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -56,6 +70,21 @@ class FlatIndex:
             queries = queries / np.maximum(norms, 1e-12)
         k = min(k, len(self))
 
+        if backend == "device" or (
+            backend == "auto" and len(queries) >= self._AUTO_DEVICE_MIN_BATCH
+        ):
+            try:
+                result = self._device_search(queries, k)
+                if result is not None:
+                    return result
+                if backend == "device":
+                    raise RuntimeError(
+                        "backend='device' requires an attached TPU/GPU "
+                        "(jax accelerator backend not available)."
+                    )
+            except Exception:
+                if backend == "device":
+                    raise
         if backend in ("auto", "native"):
             try:
                 from .native_bridge import native_flat_search
@@ -68,6 +97,33 @@ class FlatIndex:
                     raise
         # numpy fallback: blocked exact search
         return _numpy_search(self.embeddings, queries, k)
+
+    def _device_search(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Exact top-k on an attached accelerator; None when unavailable.
+
+        The embedding matrix is transferred once and cached in device
+        memory across calls (the index is immutable).
+        """
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.devices()[0].platform not in ("tpu", "gpu"):
+                return None
+            from ..ops.topk import mips_topk
+        except Exception:
+            return None
+        emb = getattr(self, "_device_emb", None)
+        if emb is None or emb.shape[0] != len(self):
+            emb = jax.device_put(self.embeddings)
+            self._device_emb = emb
+        scores, idx = mips_topk(jnp.asarray(queries), emb, k=k)
+        return (
+            np.asarray(jax.device_get(scores)),
+            np.asarray(jax.device_get(idx)).astype(np.int64),
+        )
 
     def save(self, path: Path | str) -> None:
         path = Path(path)
