@@ -3,7 +3,8 @@
 
 Batch mode (one userId per line on stdin or via --user-id) over the
 artifacts directory the training pipeline wrote (default
-``artifacts/faiss``).
+``artifacts/faiss``), or a long-running HTTP service with ``--http PORT``
+(GET /healthz, GET/POST /v1/recommend — see ttamm_tpu/serve/http_server.py).
 """
 
 from __future__ import annotations
@@ -25,11 +26,22 @@ def main() -> None:
     parser.add_argument(
         "--backend", choices=["auto", "device", "native", "numpy"], default="auto"
     )
+    parser.add_argument(
+        "--http", type=int, default=None, metavar="PORT",
+        help="run as an HTTP service on this port instead of batch mode",
+    )
+    parser.add_argument("--host", default="127.0.0.1")
     args = parser.parse_args()
 
     from ttamm_tpu.serve.service import RetrievalService
 
     service = RetrievalService.from_artifacts(args.artifacts)
+    if args.http is not None:
+        from ttamm_tpu.serve.http_server import serve_forever
+
+        print(f"serving on http://{args.host}:{args.http} (backend={args.backend})")
+        serve_forever(service, args.host, args.http, backend=args.backend)
+        return
     user_ids = args.user_id or [line.strip() for line in sys.stdin if line.strip()]
     for uid in user_ids:
         try:
