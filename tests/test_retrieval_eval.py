@@ -145,3 +145,37 @@ def test_metrics_pipeline_end():
     )
     metrics = compute_ranking_metrics(preds, gts, [5])
     assert 0.0 <= metrics.recall[5] <= 1.0
+
+
+def test_eval_plan_matches_batched_path():
+    """The one-dispatch scan path (EvalPlan) must reproduce the per-batch
+    path (and therefore the reference post-processing) exactly."""
+    from ttamm_tpu.evaluation import build_eval_plan
+
+    cfg, state, data, positives, rng = _setup()
+    num_users, num_items = 20, 15
+    val = pd.DataFrame(
+        {
+            "user_idx": list(range(num_users)),
+            "item_idx": [int(rng.integers(0, num_items)) for _ in range(num_users)],
+        }
+    )
+    train_blocked = {u: set(list(positives[u])[:2]) for u in range(num_users)}
+    kwargs = dict(
+        val_interactions=val,
+        train_positive_map=train_blocked,
+        num_items=num_items,
+        k_values=[5, 10],
+        use_mips=True,
+        user_batch_size=7,
+        topk_chunk_size=4,
+    )
+    preds_ref, gts_ref = evaluate_retrieval(state, data, cfg, **kwargs)
+    plan = build_eval_plan(
+        val, train_blocked,
+        num_users=num_users, num_items=num_items,
+        k_values=[5, 10], user_batch_size=7,
+    )
+    preds_plan, gts_plan = evaluate_retrieval(state, data, cfg, plan=plan, **kwargs)
+    assert preds_plan == preds_ref
+    assert gts_plan == gts_ref

@@ -6,10 +6,12 @@ from .embeddings import (
 )
 from .feature_correlation import compute_feature_correlations
 from .metrics import RankingMetrics, compute_ranking_metrics, per_user_metrics
-from .retrieval import evaluate_retrieval
+from .retrieval import EvalPlan, build_eval_plan, evaluate_retrieval
 
 __all__ = [
+    "EvalPlan",
     "RankingMetrics",
+    "build_eval_plan",
     "analyze_item_neighbors",
     "compute_feature_correlations",
     "compute_mimic_statistics",

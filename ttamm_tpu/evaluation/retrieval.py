@@ -23,6 +23,7 @@ sequence with a static search depth of ``max_k + gt_cap``.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterable, Mapping
 
 import jax
@@ -70,6 +71,191 @@ def encode_user_batch(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "deep_k", "chunk", "cosine"))
+def _encode_and_search(
+    state: TrainState,
+    data: BatchData,
+    cfg: ModelConfig,
+    user_idx: jax.Array,
+    item_embeddings: jax.Array,
+    mask_rows: jax.Array,
+    *,
+    deep_k: int,
+    chunk: int,
+    cosine: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """User encode + masked MIPS top-k fused into ONE dispatch.
+
+    One device round trip per user batch instead of two — through the
+    high-latency dev-box tunnel the dispatch count, not the compute,
+    dominates eval wall time.
+    """
+    queries = encode_user_batch(state, data, cfg, user_idx)
+    return mips_topk(
+        queries,
+        item_embeddings,
+        k=deep_k,
+        chunk_size=chunk,
+        mask_rows=mask_rows,
+        normalize_queries=cosine,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "cosine"))
+def _score_candidates(
+    state: TrainState,
+    data: BatchData,
+    cfg: ModelConfig,
+    user_idx: jax.Array,
+    item_embeddings: jax.Array,
+    candidates: jax.Array,
+    *,
+    cosine: bool,
+) -> jax.Array:
+    """Sampled-path scorer: encode users + gather candidates + row dots."""
+    queries = encode_user_batch(state, data, cfg, user_idx)
+    if cosine:
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
+        )
+    cand_emb = jnp.take(item_embeddings, candidates, axis=0)
+    return jnp.einsum("bd,bcd->bc", queries, cand_emb)
+
+
+def _bucket_width(width: int) -> int:
+    """Round a mask width up to a power of two (bounds jit recompiles
+    while keeping per-batch host->device mask uploads small)."""
+    return 1 << max(width, 1).bit_length()
+
+
+@dataclass(frozen=True)
+class EvalPlan:
+    """Precomputed, device-resident inputs for the scan-based MIPS eval.
+
+    Built ONCE per experiment (``build_eval_plan``) and reused every epoch:
+    through the dev tunnel the per-eval wall time is dominated by host<->device
+    round trips, so the users and the blocked-item matrix live on device and
+    the whole eval runs as ONE ``lax.scan`` dispatch.
+    """
+
+    batches: tuple[tuple[int, ...], ...]  # eval users, chunked by scan step
+    gt_per_user: dict[int, set[int]]
+    user_mat: jax.Array  # int32 [nb, bs], short batches padded with repeats
+    blocked_rows: jax.Array  # int32 [num_users, W] train positives, fill>=N
+    deep_k: int
+    num_items: int
+
+
+def build_eval_plan(
+    val_interactions: pd.DataFrame,
+    train_positive_map: Mapping[int, set[int]],
+    *,
+    num_users: int,
+    num_items: int,
+    k_values: Iterable[int],
+    user_batch_size: int = 1024,
+    blocked_rows: jax.Array | None = None,
+) -> EvalPlan | None:
+    """Precompute the per-epoch-invariant eval inputs (see EvalPlan).
+
+    ``blocked_rows`` lets callers share one packed+uploaded train-positives
+    matrix across several plans (the pipeline builds val and test plans
+    from the same blocked map).
+    """
+    from ..data.arrays import pack_positives
+
+    if val_interactions.empty:
+        return None
+    gt_per_user: dict[int, set[int]] = {
+        int(u): set(map(int, g["item_idx"].tolist()))
+        for u, g in val_interactions.groupby("user_idx")
+    }
+    users = [u for u, gt in gt_per_user.items() if gt]
+    if not users:
+        return None
+    max_k = max(k_values)
+    gt_cap = max(len(gt_per_user[u]) for u in users)
+    n = len(users)
+    bs = min(user_batch_size, n)
+    nb = -(-n // bs)
+    user_arr = np.asarray(users, np.int32)
+    padded = np.concatenate([user_arr, np.full(nb * bs - n, user_arr[-1], np.int32)])
+    if blocked_rows is None:
+        packed = pack_positives(
+            train_positive_map, num_users=num_users, num_items=num_items
+        )
+        blocked_rows = jnp.asarray(packed.rows)
+    return EvalPlan(
+        batches=tuple(
+            tuple(users[start : start + bs]) for start in range(0, n, bs)
+        ),
+        gt_per_user=gt_per_user,
+        user_mat=jnp.asarray(padded.reshape(nb, bs)),
+        blocked_rows=blocked_rows,
+        deep_k=min(max_k + gt_cap, num_items),
+        num_items=num_items,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "deep_k", "chunk", "cosine"))
+def _scan_encode_search(
+    state: TrainState,
+    data: BatchData,
+    cfg: ModelConfig,
+    user_mat: jax.Array,
+    item_embeddings: jax.Array,
+    blocked_rows: jax.Array,
+    *,
+    deep_k: int,
+    chunk: int,
+    cosine: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole-corpus eval for every user batch in ONE dispatch.
+
+    Returns (indices int32 [nb, bs, deep_k], valid bool [nb, bs, deep_k]);
+    scores themselves are never needed on host, so only a validity bit is
+    shipped back (masked/blocked entries are invalid).
+    """
+
+    def step(_, u_idx):
+        queries = encode_user_batch(state, data, cfg, u_idx)
+        mask_rows = jnp.take(blocked_rows, u_idx, axis=0)
+        scores, idx = mips_topk(
+            queries,
+            item_embeddings,
+            k=deep_k,
+            chunk_size=chunk,
+            mask_rows=mask_rows,
+            normalize_queries=cosine,
+        )
+        return None, (idx.astype(jnp.int32), scores > _VALID_THRESHOLD)
+
+    _, (idx_all, valid_all) = jax.lax.scan(step, None, user_mat)
+    return idx_all, valid_all
+
+
+def _postprocess_mips_rows(
+    predictions: dict[int, list[int]],
+    chunk_users: Iterable[int],
+    idx_np: np.ndarray,
+    valid_np: np.ndarray,
+    gt_per_user: Mapping[int, set[int]],
+    max_k: int,
+) -> None:
+    """Reference post-processing: filter -> cap -> GT-append -> truncate
+    (ref ``training.py:944-972``)."""
+    for row, user in enumerate(chunk_users):
+        gt = gt_per_user[user]
+        filtered = [int(i) for i in idx_np[row][valid_np[row]]]
+        search_limit = max(max_k + len(gt), 1)
+        filtered = filtered[:search_limit]
+        seen = set(filtered)
+        for item in gt:  # GT-append quirk (ref :969-972)
+            if item not in seen:
+                filtered.append(item)
+        predictions[user] = filtered[:max_k]
+
+
 def evaluate_retrieval(
     state: TrainState,
     data: BatchData,
@@ -85,14 +271,47 @@ def evaluate_retrieval(
     user_batch_size: int = 1024,
     item_embeddings: jax.Array | None = None,
     topk_chunk_size: int = 8192,
+    plan: EvalPlan | None = None,
 ) -> tuple[dict[int, list[int]], dict[int, set[int]]]:
-    """Per-user top-K predictions + ground truth for the metric computer."""
+    """Per-user top-K predictions + ground truth for the metric computer.
+
+    With ``plan`` (see :func:`build_eval_plan`) the MIPS path runs as one
+    ``lax.scan`` dispatch over device-resident inputs — the fast path the
+    training pipeline uses every epoch.
+    """
+    k_list = list(k_values)
+    max_k = max(k_list) if k_list else 0
+    cosine = cfg.similarity == "cosine"
+
+    if plan is not None and use_mips:
+        if item_embeddings is None:
+            item_embeddings = encode_corpus(
+                state, data, cfg, "item", num_rows=plan.num_items
+            )
+        if cosine:
+            item_embeddings = item_embeddings / jnp.maximum(
+                jnp.linalg.norm(item_embeddings, axis=-1, keepdims=True), 1e-12
+            )
+        idx_all, valid_all = _scan_encode_search(
+            state, data, cfg, plan.user_mat, item_embeddings, plan.blocked_rows,
+            deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
+        )
+        idx_np = np.asarray(jax.device_get(idx_all))
+        valid_np = np.asarray(jax.device_get(valid_all))
+        predictions: dict[int, list[int]] = {}
+        for b, chunk_users in enumerate(plan.batches):
+            _postprocess_mips_rows(
+                predictions, chunk_users, idx_np[b], valid_np[b],
+                plan.gt_per_user, max_k,
+            )
+        return predictions, {
+            u: plan.gt_per_user[u]
+            for batch in plan.batches
+            for u in batch
+        }
+
     if val_interactions.empty:
         return {}, {}
-
-    k_list = list(k_values)
-    max_k = max(k_list)
-    cosine = cfg.similarity == "cosine"
 
     # Group ground truth per user (insertion order = groupby order, matching
     # the reference's per-user iteration).
@@ -120,11 +339,14 @@ def evaluate_retrieval(
 
     if use_mips:
         deep_k = min(max_k + gt_cap, num_items)
-        bcap = max(blocked_cap, 1)
         n = len(users)
         bs = min(user_batch_size, n)
-        blocked_mat = _pad_rows(blocked_lists, bcap, num_items)  # once per eval
         user_arr = np.asarray(users, np.int32)
+        # Phase 1: dispatch every batch without synchronizing — JAX queues
+        # the fused encode+search kernels while earlier ones still run, so
+        # tunnel latency overlaps device compute (195 blocking round trips
+        # -> 1 at 200k users / bs=1024).
+        launched: list[tuple[list[int], jax.Array, jax.Array]] = []
         for start in range(0, n, bs):
             chunk_users = users[start : start + bs]
             cnt = len(chunk_users)
@@ -133,29 +355,23 @@ def evaluate_retrieval(
                 [np.arange(start, start + cnt)] + [[start + cnt - 1]] * pad
             )
             u_idx = jnp.asarray(user_arr[rows_sel])
-            queries = encode_user_batch(state, data, cfg, u_idx)
-            mask_rows = jnp.asarray(blocked_mat[rows_sel])
-            scores, idx = mips_topk(
-                queries,
-                item_embeddings,
-                k=deep_k,
-                chunk_size=topk_chunk_size,
-                mask_rows=mask_rows,
-                normalize_queries=cosine,
+            batch_blocked = [blocked_lists[r] for r in rows_sel]
+            width = _bucket_width(max((len(b) for b in batch_blocked), default=1))
+            mask_rows = jnp.asarray(_pad_rows(batch_blocked, width, num_items))
+            scores, idx = _encode_and_search(
+                state, data, cfg, u_idx, item_embeddings, mask_rows,
+                deep_k=deep_k, chunk=topk_chunk_size, cosine=cosine,
             )
+            launched.append((chunk_users, scores, idx))
+        # Phase 2: pull results and apply the reference's host-side
+        # post-processing (filter -> cap -> GT-append -> truncate).
+        for chunk_users, scores, idx in launched:
             scores_np = np.asarray(scores)
             idx_np = np.asarray(idx)
-            for row, user in enumerate(chunk_users):
-                gt = gt_per_user[user]
-                valid = scores_np[row] > _VALID_THRESHOLD
-                filtered = [int(i) for i in idx_np[row][valid]]
-                search_limit = max(max_k + len(gt), 1)
-                filtered = filtered[:search_limit]
-                seen = set(filtered)
-                for item in gt:  # GT-append quirk (ref :969-972)
-                    if item not in seen:
-                        filtered.append(item)
-                predictions[user] = filtered[:max_k]
+            _postprocess_mips_rows(
+                predictions, chunk_users, idx_np,
+                scores_np > _VALID_THRESHOLD, gt_per_user, max_k,
+            )
     else:
         rng = rng or np.random.default_rng(0)
         cand_rows: list[list[int]] = []
@@ -178,26 +394,26 @@ def evaluate_retrieval(
 
         n = len(users)
         bs = min(user_batch_size, n)
+        sampled_launched: list[tuple[list[int], int, jax.Array]] = []
         for start in range(0, n, bs):
             chunk_users = users[start : start + bs]
             cnt = len(chunk_users)
             pad = bs - cnt
             padded_users = chunk_users + [chunk_users[-1]] * pad
             u_idx = jnp.asarray(np.asarray(padded_users, np.int32))
-            queries = encode_user_batch(state, data, cfg, u_idx)
             cands = np.concatenate(
                 [cand_mat[start : start + cnt]]
                 + [cand_mat[start + cnt - 1 : start + cnt]] * pad,
                 axis=0,
             )
-            cand_emb = jnp.take(item_embeddings, jnp.asarray(cands), axis=0)
-            if cosine:
-                q = queries / jnp.maximum(
-                    jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
-                )
-            else:
-                q = queries
-            scores = jnp.einsum("bd,bcd->bc", q, cand_emb)
+            scores = _score_candidates(
+                state, data, cfg, u_idx, item_embeddings, jnp.asarray(cands),
+                cosine=cosine,
+            )
+            sampled_launched.append((chunk_users, start, scores))
+        for chunk_users, start, scores in sampled_launched:
+            cnt = len(chunk_users)
+            pad = bs - cnt
             scores_np = np.array(scores)  # writable copy
             scores_np[
                 np.concatenate(

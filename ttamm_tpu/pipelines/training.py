@@ -48,6 +48,7 @@ from ..evaluation import (
     compute_feature_correlations,
     compute_mimic_statistics,
     compute_ranking_metrics,
+    build_eval_plan,
     evaluate_retrieval,
     summarize_embedding_norms,
     summarize_user_alignment,
@@ -614,6 +615,28 @@ def run_single_experiment(
     last_checkpoint_path: Path | None = None
 
     train_positive_map = positives_from_frame(train_df)
+    # Precompute the per-epoch-invariant eval inputs once (device-resident
+    # users + blocked matrix) so every epoch's retrieval eval is a single
+    # scan dispatch (see evaluation/retrieval.py EvalPlan).
+    val_eval_plan = test_eval_plan = None
+    if mips_enabled and (not val_df.empty or not test_df.empty):
+        eval_blocked = jnp.asarray(
+            pack_positives(
+                train_positive_map, num_users=num_users, num_items=num_items
+            ).rows
+        )
+        val_eval_plan = build_eval_plan(
+            val_df, train_positive_map,
+            num_users=num_users, num_items=num_items,
+            k_values=metrics_k, user_batch_size=eval_user_batch,
+            blocked_rows=eval_blocked,
+        )
+        test_eval_plan = build_eval_plan(
+            test_df, train_positive_map,
+            num_users=num_users, num_items=num_items,
+            k_values=metrics_k, user_batch_size=eval_user_batch,
+            blocked_rows=eval_blocked,
+        )
     train_users, train_items = interaction_arrays(train_df)
     val_users, val_items = interaction_arrays(val_df) if not val_df.empty else (
         np.empty(0, np.int32),
@@ -751,6 +774,7 @@ def run_single_experiment(
                 user_batch_size=eval_user_batch,
                 item_embeddings=item_embeddings,
                 topk_chunk_size=topk_chunk,
+                plan=val_eval_plan,
             )
             val_metrics = compute_ranking_metrics(
                 val_predictions, val_ground_truth, metrics_k
@@ -789,6 +813,7 @@ def run_single_experiment(
                 user_batch_size=eval_user_batch,
                 item_embeddings=item_embeddings,
                 topk_chunk_size=topk_chunk,
+                plan=test_eval_plan,
             )
             last_test_metrics = compute_ranking_metrics(
                 test_predictions, test_ground_truth, metrics_k
