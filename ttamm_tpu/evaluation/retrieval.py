@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from ..data.arrays import positives_from_frame
 from ..models.two_tower import ModelConfig
 from ..ops.topk import NEG_INF, mips_topk
 from ..train.state import BatchData, TrainState
@@ -166,10 +167,7 @@ def build_eval_plan(
 
     if val_interactions.empty:
         return None
-    gt_per_user: dict[int, set[int]] = {
-        int(u): set(map(int, g["item_idx"].tolist()))
-        for u, g in val_interactions.groupby("user_idx")
-    }
+    gt_per_user = positives_from_frame(val_interactions)
     users = [u for u, gt in gt_per_user.items() if gt]
     if not users:
         return None
@@ -315,10 +313,7 @@ def evaluate_retrieval(
 
     # Group ground truth per user (insertion order = groupby order, matching
     # the reference's per-user iteration).
-    gt_per_user: dict[int, set[int]] = {
-        int(u): set(map(int, g["item_idx"].tolist()))
-        for u, g in val_interactions.groupby("user_idx")
-    }
+    gt_per_user = positives_from_frame(val_interactions)
     users = [u for u, gt in gt_per_user.items() if gt]
     if not users:
         return {}, {}
