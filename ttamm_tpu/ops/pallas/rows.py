@@ -57,7 +57,7 @@ def gather_rows(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (block, dim), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -113,9 +113,9 @@ def scatter_set_rows(
                 pl.BlockSpec(
                     (block, dim), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((block,))],
         ),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),

@@ -54,7 +54,7 @@ def make_sharded_lookup(mesh: Mesh, num_rows: int, dim: int):
     divisible by the axis size; ``idx`` is replicated. The VJP scatters row
     gradients back to the owning shards (sum over duplicate indices).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     num_shards = mesh.shape[MODEL_AXIS]
     if num_rows % num_shards != 0:
@@ -68,14 +68,14 @@ def make_sharded_lookup(mesh: Mesh, num_rows: int, dim: int):
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     bwd_mapped = shard_map(
         partial(_scatter_local, rows_per_shard=rows_per_shard, dim=dim),
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(MODEL_AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.custom_vjp

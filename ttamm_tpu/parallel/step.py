@@ -75,7 +75,7 @@ def _sharded_topk_impl(
     normalize_queries: bool,
     chunk_size: int,
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     num_shards = mesh.shape[MODEL_AXIS]
     rows_per_shard = item_shards.shape[0] // num_shards
@@ -103,7 +103,7 @@ def _sharded_topk_impl(
         mesh=mesh,
         in_specs=(P(), P(MODEL_AXIS, None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(queries, item_shards)
 
 
