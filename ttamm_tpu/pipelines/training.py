@@ -63,7 +63,7 @@ from ..reporting import (
     write_recommendation_report,
 )
 from ..serve.flat_index import build_flat_index
-from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.checkpoint import load_checkpoint, save_checkpoint, state_to_host
 from ..train.optim import parse_dense_opt_config
 from ..train.state import BatchData, TrainState, create_train_state
 from ..train.step import (
@@ -854,6 +854,14 @@ def run_single_experiment(
             float(tracked_value) if tracked_value is not None else float("nan")
         )
 
+        # One device->host pull per epoch shared by every checkpoint file
+        # (best + per-epoch + last would otherwise each transfer ~1 GB).
+        epoch_host_state = (
+            state_to_host(state)
+            if checkpoint_enabled and (improved or not save_best_only or keep_last)
+            else None
+        )
+
         if improved:
             best_state = _clone_state_device(state)
             best_val_metrics = val_metrics or last_val_metrics
@@ -876,6 +884,7 @@ def run_single_experiment(
                     metric_name=str(monitor_metric) if monitor_metric else "loss",
                     metric_value=metric_for_checkpoint,
                     template=checkpoint_template,
+                    host_arrays=epoch_host_state,
                 )
 
         if checkpoint_enabled and not save_best_only:
@@ -887,6 +896,7 @@ def run_single_experiment(
                 metric_name="epoch",
                 metric_value=float(epoch),
                 template=checkpoint_template,
+                host_arrays=epoch_host_state,
             )
 
         if checkpoint_enabled and keep_last:
@@ -898,6 +908,7 @@ def run_single_experiment(
                 metric_name="last",
                 metric_value=float(epoch),
                 template="{experiment}_last.pt",
+                host_arrays=epoch_host_state,
             )
 
         if should_stop:

@@ -26,6 +26,16 @@ import numpy as np
 from .state import TrainState
 
 
+def state_to_host(state: Any) -> dict[str, np.ndarray]:
+    """Pull the full state to host once (flattened, keyed by pytree path).
+
+    Pass the result as ``host_arrays`` to several :func:`save_checkpoint`
+    calls in the same epoch (best + last) so the ~1 GB device->host
+    transfer happens once, not per file.
+    """
+    return _flatten_with_keys(state)
+
+
 def _flatten_with_keys(tree: Any) -> dict[str, np.ndarray]:
     flat: dict[str, np.ndarray] = {}
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -62,6 +72,7 @@ def save_checkpoint(
     metric_name: str | None,
     metric_value: float | None,
     template: str | None = None,
+    host_arrays: dict[str, np.ndarray] | None = None,
 ) -> Path:
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
@@ -74,7 +85,7 @@ def save_checkpoint(
     )
     path = directory / filename
 
-    arrays = _flatten_with_keys(state)
+    arrays = dict(host_arrays) if host_arrays is not None else _flatten_with_keys(state)
     meta = {
         "epoch": epoch,
         "metric_name": metric_name,
