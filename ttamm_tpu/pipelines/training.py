@@ -777,7 +777,8 @@ def run_single_experiment(
                 plan=val_eval_plan,
             )
             val_metrics = compute_ranking_metrics(
-                val_predictions, val_ground_truth, metrics_k
+                val_predictions, val_ground_truth, metrics_k,
+                include_per_user=False,  # unused at 200k users; 4x faster
             )
             last_val_metrics = val_metrics
             for k in metrics_k:
@@ -816,7 +817,8 @@ def run_single_experiment(
                 plan=test_eval_plan,
             )
             last_test_metrics = compute_ranking_metrics(
-                test_predictions, test_ground_truth, metrics_k
+                test_predictions, test_ground_truth, metrics_k,
+                include_per_user=False,
             )
         else:
             history.test_loss.append(float("nan"))
