@@ -170,11 +170,15 @@ def _group_exact_topk(
 
     s = jnp.dot(queries, item_embeddings.T, preferred_element_type=jnp.float32)
     if mask_rows is not None:
-        ids = jax.lax.broadcasted_iota(jnp.int32, (1, num_items), 1)
-        blocked = jnp.any(
-            ids[:, :, None] == mask_rows[:, None, :], axis=-1
-        )  # [B, N]
-        s = jnp.where(blocked, NEG_INF, s)
+        # Scatter -inf at the blocked columns (B*M elements) instead of a
+        # [B, N, M] broadcast compare (B*N*M elements — 4e9 at B=1024,
+        # N=100k, M=40); padding ids >= num_items are dropped.
+        row_ids = jnp.broadcast_to(
+            jnp.arange(batch, dtype=jnp.int32)[:, None], mask_rows.shape
+        )
+        s = s.at[row_ids, mask_rows.astype(jnp.int32)].set(
+            NEG_INF, mode="drop", unique_indices=False
+        )
     if padded != num_items:
         pad = jnp.full((batch, padded - num_items), NEG_INF, jnp.float32)
         s = jnp.concatenate([s, pad], axis=1)
