@@ -287,6 +287,24 @@ def _log_recommendations(
     return results
 
 
+def _pick_steps_per_call(num_full_batches: int, cap: int = 128) -> int:
+    """Scan length K minimizing device dispatches per epoch.
+
+    An epoch issues ``num_full//K`` scanned calls plus ``num_full % K``
+    single-step calls for the tail chunk; through the high-latency dev
+    tunnel the dispatch count is what matters, so pick the K <= cap that
+    minimizes their sum (e.g. 747 full batches -> K=83: 9 calls, no tail).
+    """
+    if num_full_batches <= 1:
+        return max(num_full_batches, 1)
+    best_k, best_cost = 1, num_full_batches
+    for k in range(2, min(cap, num_full_batches) + 1):
+        cost = num_full_batches // k + num_full_batches % k
+        if cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
 def _dataset_loss(
     eval_step, multi_eval_step, state, data, users, items, batch_size, key
 ) -> float:
@@ -539,7 +557,7 @@ def run_single_experiment(
     )
     train_step = make_train_step(model_cfg, tscfg)
     multi_step = make_multi_train_step(model_cfg, tscfg)
-    steps_per_call = max(1, int(training_config.get("steps_per_call", 16)))
+    steps_per_call_cfg = training_config.get("steps_per_call", "auto")
     eval_step = make_eval_loss_step(model_cfg, tscfg)
     multi_eval_step = make_multi_eval_loss_step(model_cfg, tscfg)
     logger.info(
@@ -638,6 +656,11 @@ def run_single_experiment(
             blocked_rows=eval_blocked,
         )
     train_users, train_items = interaction_arrays(train_df)
+    if steps_per_call_cfg in (None, "auto"):
+        steps_per_call = _pick_steps_per_call(len(train_users) // batch_size)
+        logger.info("steps_per_call=auto -> %d", steps_per_call)
+    else:
+        steps_per_call = max(1, int(steps_per_call_cfg))
     val_users, val_items = interaction_arrays(val_df) if not val_df.empty else (
         np.empty(0, np.int32),
         np.empty(0, np.int32),
