@@ -75,3 +75,18 @@ def test_early_stopping_min_mode_and_min_delta():
     ctrl2.update(1.0, 1)
     assert ctrl2.update(0.8, 2) is False
     assert ctrl2.best_value == 0.8
+
+
+def test_pick_steps_per_call_minimizes_dispatches():
+    from ttamm_tpu.pipelines.training import _pick_steps_per_call
+
+    assert _pick_steps_per_call(0) == 1
+    assert _pick_steps_per_call(1) == 1
+    # 747 = 9 * 83: a perfect divisor under the cap wins (9 calls, no tail)
+    assert _pick_steps_per_call(747) == 83
+    # exhaustive check of optimality for a range of sizes
+    for n in (2, 5, 16, 100, 128, 129, 747, 1000):
+        k = _pick_steps_per_call(n)
+        cost = n // k + n % k
+        best = min(n // c + n % c for c in range(1, min(128, n) + 1))
+        assert cost == best, (n, k)
