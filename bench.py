@@ -63,7 +63,9 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 2048))
     steps = int(os.environ.get("BENCH_STEPS", 100))
     dim = int(os.environ.get("BENCH_DIM", 128))
-    query_batches = int(os.environ.get("BENCH_QUERY_BATCHES", 10))
+    # 200 batches ≈ 0.45 s of device work per timed call, so the per-dispatch
+    # tunnel latency (~35 ms here; zero on a real TPU VM) stays <10% noise.
+    query_batches = int(os.environ.get("BENCH_QUERY_BATCHES", 200))
     neg = 5
 
     n_devices = len(jax.devices())

@@ -177,3 +177,56 @@ def test_mips_topk_group_exact_with_ties_and_mask():
     # tied scores make index sets ambiguous; the score multisets must match
     assert np.allclose(np.sort(np.asarray(sg)), np.sort(np.asarray(sc)), atol=1e-5)
     assert not np.isin(np.asarray(ig[0]), [0, 1, 2]).any()
+
+
+def test_mips_topk_group_blocked_matches_argsort():
+    # Tiny budget forces the query-blocking scan (with a padded remainder
+    # block) plus per-block mask slicing.
+    from ttamm_tpu.ops.topk import _group_exact_topk
+
+    rng = np.random.default_rng(11)
+    items = rng.normal(0, 1, (57, 8)).astype(np.float32)
+    queries = rng.normal(0, 1, (9, 8)).astype(np.float32)
+    mask = np.full((9, 3), 57, np.int32)
+    mask[0] = [0, 1, 2]
+    mask[4, 0] = 13
+    scores, idx = _group_exact_topk(
+        jnp.asarray(queries), jnp.asarray(items), 5, jnp.asarray(mask), 57,
+        scores_bytes_budget=2 * 128 * 4,
+    )
+    full = queries @ items.T
+    full[0, [0, 1, 2]] = -np.inf
+    full[4, 13] = -np.inf
+    expected_idx = np.argsort(-full, axis=1)[:, :5]
+    assert np.array_equal(np.asarray(idx), expected_idx)
+    assert np.allclose(
+        np.asarray(scores), np.take_along_axis(full, expected_idx, axis=1),
+        atol=1e-5,
+    )
+
+
+def test_mips_topk_group_select_variants_match():
+    # The one-hot-matmul candidate selection must be bit-identical to the
+    # row-gather selection (multiply-by-1.0 in HIGHEST precision is exact).
+    from ttamm_tpu.ops.topk import _group_exact_topk
+
+    rng = np.random.default_rng(12)
+    items = rng.normal(0, 1, (300, 16)).astype(np.float32)
+    queries = rng.normal(0, 1, (17, 16)).astype(np.float32)
+    for k in (1, 10, 300):
+        se, ie = _group_exact_topk(
+            jnp.asarray(queries), jnp.asarray(items), k, None, 300,
+            _select="einsum",
+        )
+        sg, ig = _group_exact_topk(
+            jnp.asarray(queries), jnp.asarray(items), k, None, 300,
+            _select="gather",
+        )
+        assert np.array_equal(np.asarray(se), np.asarray(sg))
+        assert np.array_equal(np.asarray(ie), np.asarray(ig))
+        sc, ic = mips_topk(
+            jnp.asarray(queries), jnp.asarray(items), k=k,
+            chunk_size=128, algorithm="chunked",
+        )
+        assert np.allclose(np.asarray(se), np.asarray(sc), atol=1e-5)
+        assert np.array_equal(np.sort(np.asarray(ie)), np.sort(np.asarray(ic)))

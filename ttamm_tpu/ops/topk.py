@@ -9,7 +9,7 @@ top-k — O(B * K) VMEM state instead of materialising [B, num_items] scores.
 
 ``mips_topk`` is the single-device entry; the mesh-sharded variant (local
 top-k per item shard + cross-shard merge) lives in
-``ttamm_tpu.parallel.mips``.
+``ttamm_tpu.parallel.step`` (``sharded_mips_topk``).
 """
 
 from __future__ import annotations
@@ -37,11 +37,10 @@ def _merge_topk(
     return top_scores, top_idx
 
 
-# Full-score materialisation budget for the group-pruned exact algorithm;
-# above this the scanning algorithm is used instead (it never materialises
-# more than one [B, chunk] score block).
+# Full-score materialisation budget: the 'wide' algorithm blocks its
+# queries so no [qb, N] score slab exceeds this.
 _SCORES_BYTES_BUDGET = 768 * 1024 * 1024
-_GROUP = 128  # items per group (one lane tile)
+_GROUP = 128  # items per group (one lane tile; group_exact only)
 
 
 @partial(
@@ -72,12 +71,17 @@ def mips_topk(
         (``training.py:958-968``) since its search depth always covers the
         blocked count.
     normalize_queries: L2-normalise queries first (cosine mode).
-    algorithm: 'auto' | 'group_exact' | 'chunked'. ``group_exact`` is the
-        group-max-pruned single-matmul algorithm (~4.5x faster on v5e,
-        still exact — see :func:`_group_exact_topk`); ``chunked`` is the
-        scanning chunk+merge algorithm with O(B*chunk) score memory.
-        ``auto`` picks group_exact whenever the [B, N] score matrix fits
-        the budget.
+    algorithm: 'auto' | 'group_exact' | 'chunked'. ``group_exact`` (the
+        ``auto`` choice) is the group-max-pruned algorithm, blocked over
+        query sub-batches so each score slab fits the budget (see
+        :func:`_group_exact_topk`). ``chunked`` is the item-chunk
+        scan+merge with O(B*chunk) score memory, for corpora where even a
+        64-query score slab would blow the budget. (A full-row
+        ``lax.top_k`` over [B, N] — no grouping — was measured 25x SLOWER
+        at B=1024, N=100k on v5e once the *indices* are consumed: XLA
+        lowers index-producing top-k over wide rows to a key-value sort.
+        Don't "simplify" to it; values-only microbenchmarks lie because
+        the index sort gets dead-code-eliminated.)
 
     Returns
     -------
@@ -94,7 +98,10 @@ def mips_topk(
     if algorithm not in {"auto", "group_exact", "chunked"}:
         raise ValueError(f"Unknown mips_topk algorithm: {algorithm}")
     if algorithm == "auto":
-        fits = batch * (num_items + _GROUP) * 4 <= _SCORES_BYTES_BUDGET
+        # group_exact with query blocking handles any batch; fall back to
+        # the item-chunked scan only when even a 64-query score slab would
+        # blow the budget (corpora beyond ~3M items at the default budget).
+        fits = 64 * num_items * 4 <= _SCORES_BYTES_BUDGET
         algorithm = "group_exact" if fits else "chunked"
     if algorithm == "group_exact":
         return _group_exact_topk(
@@ -139,58 +146,126 @@ def mips_topk(
     return scores, indices
 
 
+def _mask_scatter(scores: jax.Array, mask_rows: jax.Array) -> jax.Array:
+    """Set the blocked columns of ``scores`` to -inf (B*M scatter; padding
+    ids >= N are dropped)."""
+    row_ids = jnp.broadcast_to(
+        jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None], mask_rows.shape
+    )
+    return scores.at[row_ids, mask_rows.astype(jnp.int32)].set(
+        NEG_INF, mode="drop", unique_indices=False
+    )
+
+
 def _group_exact_topk(
     queries: jax.Array,
     item_embeddings: jax.Array,
     k_eff: int,
     mask_rows: jax.Array | None,
     num_items: int,
+    scores_bytes_budget: int = _SCORES_BYTES_BUDGET,
+    _select: str = "einsum",
 ) -> tuple[jax.Array, jax.Array]:
-    """Group-max-pruned exact top-k.
+    """Group-max-pruned exact top-k, blocked over queries.
 
-    One [B, D] x [D, N] matmul materialises all scores, then:
+    Per query block (sized so the [qb, NG*G] score slab fits the budget;
+    blocking over queries needs no cross-block merging — every query sees
+    its complete score row):
 
-    1. reduce scores to per-group maxima over groups of G=128 items;
-    2. take the top-k *groups* by maximum. Every true top-k item's group
-       has max >= s_k (the k-th best score), and at most k groups can have
-       max >= s_k (each contains an item scoring >= s_k, of which there
-       are exactly k) — so the true top-k items all live in these groups;
-    3. gather the k selected groups' scores and take the final top-k.
+    1. one [qb, D] x [D, NG*G] matmul against the *row-padded* item matrix
+       (zero rows appended up to a whole number of G=128-item groups, so
+       the matmul writes the group-shaped layout directly — no [B, N]
+       concat/pad copy afterwards; the pad columns are then statically set
+       to -inf, which also keeps them out of step 3's candidates);
+    2. reduce scores to per-group maxima; take the top-k *groups* by
+       maximum. Every true top-k item's group has max >= s_k (the k-th
+       best score), and at most k groups can have max >= s_k (each
+       contains an item scoring >= s_k, of which there are exactly k) —
+       so the true top-k items all live in these groups;
+    3. select the k groups' score rows and take the final top-k. Selection
+       is a one-hot matmul in HIGHEST precision (multiply-by-1.0 is exact
+       in the bf16x-pass decomposition), which streams the score slab at
+       HBM bandwidth instead of paying the descriptor-rate wall of a
+       row-gather.
 
-    This replaces the per-chunk ``lax.top_k`` over [B, chunk] (the
-    bottleneck of the scanning algorithm: TPU top-k over wide rows is
-    sort-based) with one cheap max-reduce + two narrow top-ks. Exact with
-    respect to the computed scores, including ties. ~4.5x faster than the
-    scanning algorithm at B=1024, N=100k on v5e.
+    Replaces the per-chunk ``lax.top_k`` over [B, chunk] (the bottleneck
+    of the item-chunked algorithm: TPU top-k over wide rows is sort-based)
+    with one max-reduce + two narrow top-ks. Exact with respect to the
+    computed scores, including ties.
     """
-    batch = queries.shape[0]
+    batch, dim = queries.shape
     g = _GROUP
     ng = -(-num_items // g)
-    padded = ng * g
-
-    s = jnp.dot(queries, item_embeddings.T, preferred_element_type=jnp.float32)
-    if mask_rows is not None:
-        # Scatter -inf at the blocked columns (B*M elements) instead of a
-        # [B, N, M] broadcast compare (B*N*M elements — 4e9 at B=1024,
-        # N=100k, M=40); padding ids >= num_items are dropped.
-        row_ids = jnp.broadcast_to(
-            jnp.arange(batch, dtype=jnp.int32)[:, None], mask_rows.shape
-        )
-        s = s.at[row_ids, mask_rows.astype(jnp.int32)].set(
-            NEG_INF, mode="drop", unique_indices=False
-        )
-    if padded != num_items:
-        pad = jnp.full((batch, padded - num_items), NEG_INF, jnp.float32)
-        s = jnp.concatenate([s, pad], axis=1)
-    sg = s.reshape(batch, ng, g)
-
+    padded_n = ng * g
+    if padded_n != num_items:
+        ipad = jnp.zeros((padded_n - num_items, dim), item_embeddings.dtype)
+        item_embeddings = jnp.concatenate([item_embeddings, ipad], axis=0)
+    items_t = item_embeddings.T  # loop-invariant; hoisted out of any scan
     k_groups = min(k_eff, ng)
-    gmax = jnp.max(sg, axis=-1)  # [B, NG]
-    _, gi = jax.lax.top_k(gmax, k_groups)  # [B, k]
-    cand = jnp.take_along_axis(sg, gi[:, :, None], axis=1)  # [B, k, G]
-    cv, ci = jax.lax.top_k(cand.reshape(batch, k_groups * g), k_eff)
-    group_of = jnp.take_along_axis(gi, ci // g, axis=1)
-    return cv, group_of * g + ci % g
+
+    def block(q, m):
+        qb = q.shape[0]
+        s = jnp.dot(q, items_t, preferred_element_type=jnp.float32)
+        if padded_n != num_items:
+            s = s.at[:, num_items:].set(NEG_INF)  # zero-row pad columns
+        if m is not None:
+            # Scatter -inf at the blocked columns (qb*M elements) instead
+            # of a [qb, N, M] broadcast compare (4e9 elements at qb=1024,
+            # N=100k, M=40).
+            s = _mask_scatter(s, m)
+        sg = s.reshape(qb, ng, g)
+        gmax = jnp.max(sg, axis=-1)  # [qb, NG]
+        _, gi = jax.lax.top_k(gmax, k_groups)  # [qb, kg]
+        if _select == "einsum":
+            sel = jax.nn.one_hot(gi, ng, dtype=s.dtype)  # [qb, kg, NG]
+            cand = jnp.einsum(
+                "bkg,bgj->bkj", sel, sg,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            cand = jnp.take_along_axis(sg, gi[:, :, None], axis=1)
+        cv, ci = jax.lax.top_k(cand.reshape(qb, k_groups * g), k_eff)
+        group_of = jnp.take_along_axis(gi, ci // g, axis=1)
+        return cv, group_of * g + ci % g
+
+    qb = max(1, min(batch, scores_bytes_budget // (4 * padded_n)))
+    if qb >= batch:
+        return block(queries, mask_rows)
+
+    num_blocks = -(-batch // qb)
+    qb = -(-batch // num_blocks)  # balance block sizes (minimal padding)
+    if qb >= 128:
+        qb = -(-qb // 128) * 128  # MXU-tile aligned (<=128 rows over budget)
+    num_blocks = -(-batch // qb)
+    padded_b = num_blocks * qb
+    if padded_b != batch:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((padded_b - batch, dim), queries.dtype)]
+        )
+        if mask_rows is not None:
+            mask_pad = jnp.full(
+                (padded_b - batch, mask_rows.shape[1]), num_items,
+                mask_rows.dtype,
+            )
+            mask_rows = jnp.concatenate([mask_rows, mask_pad])
+
+    q_blocks = queries.reshape(num_blocks, qb, dim)
+    m_blocks = (
+        mask_rows.reshape(num_blocks, qb, -1) if mask_rows is not None else None
+    )
+
+    def body(_, xs):
+        if m_blocks is None:
+            return None, block(xs, None)
+        return None, block(xs[0], xs[1])
+
+    xs = q_blocks if m_blocks is None else (q_blocks, m_blocks)
+    _, (scores, idx) = jax.lax.scan(body, None, xs)
+    return (
+        scores.reshape(padded_b, k_eff)[:batch],
+        idx.reshape(padded_b, k_eff)[:batch],
+    )
 
 
 def topk_with_mask(
