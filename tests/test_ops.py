@@ -230,3 +230,29 @@ def test_mips_topk_group_select_variants_match():
         )
         assert np.allclose(np.asarray(se), np.asarray(sc), atol=1e-5)
         assert np.array_equal(np.sort(np.asarray(ie)), np.sort(np.asarray(ic)))
+
+
+def test_mips_topk_group_exact_all_negative_tail():
+    # Items chosen so every real score is negative: the zero-score pad
+    # columns of the row-padded item matrix would win both the tail
+    # group's max and the final top-k if they weren't excluded (the slab
+    # itself no longer -infs them; see _group_exact_topk step 1).
+    rng = np.random.default_rng(13)
+    n = 200  # pads to 2 groups of 128 -> 56 pad rows in the tail group
+    d = 8
+    queries = rng.normal(0, 1, (5, d)).astype(np.float32)
+    queries[:, 0] = 0.5 + np.abs(queries[:, 0])  # positive first coordinate
+    # items live on -e0: score(q_b, i) = -(1 + u_i) * q_b[0] < 0 everywhere
+    u = rng.uniform(0.0, 1.0, (n, 1)).astype(np.float32)
+    items = np.zeros((n, d), np.float32)
+    items[:, :1] = -(1.0 + u)
+    sg, ig = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=7, algorithm="group_exact"
+    )
+    full = queries @ items.T
+    expected_idx = np.argsort(-full, axis=1)[:, :7]
+    assert (np.asarray(ig) < n).all()
+    assert np.allclose(
+        np.asarray(sg), np.take_along_axis(full, expected_idx, axis=1), atol=1e-5
+    )
+    assert (np.asarray(sg) < 0).all()

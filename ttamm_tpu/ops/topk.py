@@ -175,8 +175,10 @@ def _group_exact_topk(
     1. one [qb, D] x [D, NG*G] matmul against the *row-padded* item matrix
        (zero rows appended up to a whole number of G=128-item groups, so
        the matmul writes the group-shaped layout directly — no [B, N]
-       concat/pad copy afterwards; the pad columns are then statically set
-       to -inf, which also keeps them out of step 3's candidates);
+       concat/pad copy afterwards; the zero-score pad columns are never
+       written to -inf in the slab — that DUS copies the whole [qb, NG*G]
+       array — instead the tail group's max is recomputed over real
+       columns only, and pad candidates are masked post-selection);
     2. reduce scores to per-group maxima; take the top-k *groups* by
        maximum. Every true top-k item's group has max >= s_k (the k-th
        best score), and at most k groups can have max >= s_k (each
@@ -206,8 +208,6 @@ def _group_exact_topk(
     def block(q, m):
         qb = q.shape[0]
         s = jnp.dot(q, items_t, preferred_element_type=jnp.float32)
-        if padded_n != num_items:
-            s = s.at[:, num_items:].set(NEG_INF)  # zero-row pad columns
         if m is not None:
             # Scatter -inf at the blocked columns (qb*M elements) instead
             # of a [qb, N, M] broadcast compare (4e9 elements at qb=1024,
@@ -215,6 +215,14 @@ def _group_exact_topk(
             s = _mask_scatter(s, m)
         sg = s.reshape(qb, ng, g)
         gmax = jnp.max(sg, axis=-1)  # [qb, NG]
+        if padded_n != num_items:
+            # The zero pad columns must not inflate the tail group's max
+            # (all-negative tails) — fix the one affected gmax column
+            # instead of -inf-ing the pad columns of s itself (a DUS on the
+            # [qb, NG*G] slab copies the whole array: ~2 ms at B=1024,
+            # N=100k on v5e).
+            tail_max = jnp.max(s[:, (ng - 1) * g : num_items], axis=-1)
+            gmax = jnp.concatenate([gmax[:, : ng - 1], tail_max[:, None]], axis=1)
         _, gi = jax.lax.top_k(gmax, k_groups)  # [qb, kg]
         if _select == "einsum":
             sel = jax.nn.one_hot(gi, ng, dtype=s.dtype)  # [qb, kg, NG]
@@ -225,6 +233,11 @@ def _group_exact_topk(
             )
         else:
             cand = jnp.take_along_axis(sg, gi[:, :, None], axis=1)
+        if padded_n != num_items:
+            # Pad items (global id >= num_items, score 0.0) may sit inside
+            # a selected tail group; mask them at the [qb, kg, G] level.
+            ids = gi[:, :, None] * g + jnp.arange(g, dtype=jnp.int32)[None, None, :]
+            cand = jnp.where(ids < num_items, cand, NEG_INF)
         cv, ci = jax.lax.top_k(cand.reshape(qb, k_groups * g), k_eff)
         group_of = jnp.take_along_axis(gi, ci // g, axis=1)
         return cv, group_of * g + ci % g
