@@ -62,6 +62,106 @@ def test_checkpoint_shape_mismatch_detected(tmp_path):
         load_checkpoint(path, other)
 
 
+def test_async_checkpointer_matches_sync(tmp_path):
+    from ttamm_tpu.train.checkpoint import AsyncCheckpointer
+
+    cfg = _cfg()
+    state = create_train_state(jax.random.key(0), cfg, num_users=5, num_items=6)
+    sync_path = save_checkpoint(
+        tmp_path / "sync", state, experiment_name="exp", epoch=2,
+        metric_name="recall@10", metric_value=0.5,
+    )
+
+    ckpt = AsyncCheckpointer()
+    paths = ckpt.submit(
+        state,
+        [
+            dict(
+                directory=tmp_path / "async",
+                experiment_name="exp",
+                epoch=2,
+                metric_name="recall@10",
+                metric_value=0.5,
+                template=None,
+            ),
+            dict(
+                directory=tmp_path / "async",
+                experiment_name="exp",
+                epoch=2,
+                metric_name="last",
+                metric_value=2.0,
+                template="{experiment}_last.pt",
+            ),
+        ],
+    )
+    ckpt.wait()
+    assert paths[0].name == sync_path.name
+    assert paths[1].name == "exp_last.pt"
+    template = create_train_state(jax.random.key(1), cfg, num_users=5, num_items=6)
+    for path in paths:
+        restored, meta = load_checkpoint(path, template)
+        assert meta["epoch"] == 2
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointer_orders_same_file_writes(tmp_path):
+    from ttamm_tpu.train.checkpoint import AsyncCheckpointer
+
+    cfg = _cfg()
+    ckpt = AsyncCheckpointer()
+    states = []
+    for epoch in (1, 2, 3):
+        state = create_train_state(
+            jax.random.key(epoch), cfg, num_users=5, num_items=6
+        )
+        states.append(state)
+        (path,) = ckpt.submit(
+            state,
+            [
+                dict(
+                    directory=tmp_path,
+                    experiment_name="exp",
+                    epoch=epoch,
+                    metric_name="last",
+                    metric_value=float(epoch),
+                    template="{experiment}_last.pt",
+                )
+            ],
+        )
+    ckpt.wait()
+    template = create_train_state(jax.random.key(9), cfg, num_users=5, num_items=6)
+    restored, meta = load_checkpoint(path, template)
+    assert meta["epoch"] == 3  # the final submit wins
+    for a, b in zip(jax.tree.leaves(states[-1]), jax.tree.leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointer_surfaces_errors(tmp_path):
+    from ttamm_tpu.train.checkpoint import AsyncCheckpointer
+
+    cfg = _cfg()
+    state = create_train_state(jax.random.key(0), cfg, num_users=5, num_items=6)
+    bad = tmp_path / "not_a_dir"
+    bad.write_text("file blocks mkdir")
+    ckpt = AsyncCheckpointer()
+    ckpt.submit(
+        state,
+        [
+            dict(
+                directory=bad / "sub",
+                experiment_name="exp",
+                epoch=1,
+                metric_name="loss",
+                metric_value=0.1,
+                template=None,
+            )
+        ],
+    )
+    with pytest.raises(RuntimeError, match="Async checkpoint save failed"):
+        ckpt.wait()
+
+
 def test_filename_template_sanitises_metric():
     name = checkpoint_filename(
         None, experiment_name="e", metric_name="ndcg@5/x", metric_value=None, epoch=2

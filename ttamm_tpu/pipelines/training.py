@@ -63,7 +63,12 @@ from ..reporting import (
     write_recommendation_report,
 )
 from ..serve.flat_index import build_flat_index
-from ..train.checkpoint import load_checkpoint, save_checkpoint, state_to_host
+from ..train.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    save_checkpoint,
+    state_to_host,
+)
 from ..train.optim import parse_dense_opt_config
 from ..train.state import BatchData, TrainState, create_train_state
 from ..train.step import (
@@ -629,6 +634,13 @@ def run_single_experiment(
     )
     save_best_only = bool(checkpoint_cfg.get("save_best_only", True))
     keep_last = bool(checkpoint_cfg.get("keep_last", True))
+    # Async saves overlap the ~1 GB state pull + disk write with the next
+    # epoch's device compute (set ``checkpointing.async_save: false`` for
+    # strictly synchronous, reference-style saves).
+    async_save = bool(checkpoint_cfg.get("async_save", True))
+    checkpointer = (
+        AsyncCheckpointer() if checkpoint_enabled and async_save else None
+    )
     best_checkpoint_path: Path | None = None
     last_checkpoint_path: Path | None = None
 
@@ -879,62 +891,78 @@ def run_single_experiment(
             float(tracked_value) if tracked_value is not None else float("nan")
         )
 
-        # One device->host pull per epoch shared by every checkpoint file
-        # (best + per-epoch + last would otherwise each transfer ~1 GB).
-        epoch_host_state = (
-            state_to_host(state)
-            if checkpoint_enabled and (improved or not save_best_only or keep_last)
-            else None
-        )
-
         if improved:
             best_state = _clone_state_device(state)
             best_val_metrics = val_metrics or last_val_metrics
             best_test_metrics = last_test_metrics
-            if checkpoint_enabled:
-                metric_for_checkpoint = (
-                    monitor_value
-                    if monitor_metric and monitor_value is not None
-                    else (
-                        best_metric_value
-                        if best_metric_value is not None
-                        else avg_loss
-                    )
+
+        # One device->host pull per epoch shared by every checkpoint file
+        # (best + per-epoch + last would otherwise each transfer ~1 GB);
+        # with async_save the pull + disk write overlap the next epoch.
+        checkpoint_jobs: list[dict[str, Any]] = []
+        if checkpoint_enabled and improved:
+            metric_for_checkpoint = (
+                monitor_value
+                if monitor_metric and monitor_value is not None
+                else (
+                    best_metric_value
+                    if best_metric_value is not None
+                    else avg_loss
                 )
-                best_checkpoint_path = save_checkpoint(
-                    checkpoint_dir,
-                    state,
+            )
+            checkpoint_jobs.append(
+                dict(
+                    directory=checkpoint_dir,
                     experiment_name=experiment_name,
                     epoch=epoch,
                     metric_name=str(monitor_metric) if monitor_metric else "loss",
                     metric_value=metric_for_checkpoint,
                     template=checkpoint_template,
-                    host_arrays=epoch_host_state,
+                    _role="best",
                 )
-
+            )
         if checkpoint_enabled and not save_best_only:
-            save_checkpoint(
-                checkpoint_dir,
-                state,
-                experiment_name=experiment_name,
-                epoch=epoch,
-                metric_name="epoch",
-                metric_value=float(epoch),
-                template=checkpoint_template,
-                host_arrays=epoch_host_state,
+            checkpoint_jobs.append(
+                dict(
+                    directory=checkpoint_dir,
+                    experiment_name=experiment_name,
+                    epoch=epoch,
+                    metric_name="epoch",
+                    metric_value=float(epoch),
+                    template=checkpoint_template,
+                    _role="epoch",
+                )
             )
-
         if checkpoint_enabled and keep_last:
-            last_checkpoint_path = save_checkpoint(
-                checkpoint_dir,
-                state,
-                experiment_name=experiment_name,
-                epoch=epoch,
-                metric_name="last",
-                metric_value=float(epoch),
-                template="{experiment}_last.pt",
-                host_arrays=epoch_host_state,
+            checkpoint_jobs.append(
+                dict(
+                    directory=checkpoint_dir,
+                    experiment_name=experiment_name,
+                    epoch=epoch,
+                    metric_name="last",
+                    metric_value=float(epoch),
+                    template="{experiment}_last.pt",
+                    _role="last",
+                )
             )
+        if checkpoint_jobs:
+            roles = [job.pop("_role") for job in checkpoint_jobs]
+            if checkpointer is not None:
+                # Reuse the best-state clone when we just made one; the
+                # worker only reads it, later train steps donate `state`.
+                snapshot = best_state if improved else _clone_state_device(state)
+                paths = checkpointer.submit(snapshot, checkpoint_jobs)
+            else:
+                host = state_to_host(state)
+                paths = [
+                    save_checkpoint(state=None, host_arrays=host, **job)
+                    for job in checkpoint_jobs
+                ]
+            for role, path in zip(roles, paths):
+                if role == "best":
+                    best_checkpoint_path = path
+                elif role == "last":
+                    last_checkpoint_path = path
 
         if should_stop:
             logger.info(
@@ -944,6 +972,8 @@ def run_single_experiment(
             break
 
     # -------------------------------------------------------------- finalize
+    if checkpointer is not None:
+        checkpointer.wait()  # checkpoints on disk before anyone can load them
     if best_state is not None:
         state = best_state
     elif last_checkpoint_path is not None and best_checkpoint_path is None:

@@ -16,6 +16,7 @@ re-sharded by the caller's pjit placement).
 from __future__ import annotations
 
 import json
+import threading
 import time
 from pathlib import Path
 from typing import Any
@@ -99,6 +100,89 @@ def save_checkpoint(
     with open(path, "wb") as handle:
         np.savez(handle, **arrays)
     return path
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with the next epoch's device compute.
+
+    The ~1 GB device->host state pull (slow over a tunneled PJRT link) and
+    the npz disk write run on a single background worker thread; the caller
+    hands in a *device-side clone* of the state (so later train steps can
+    donate the live state's buffers) plus the per-file save specs, and gets
+    the final paths back immediately. One worker thread keeps writes to the
+    same file (e.g. ``{experiment}_last.pt``) ordered across epochs.
+
+    The reference has no analog (its ``torch.save`` at ``training.py:150-182``
+    blocks the epoch loop); this is Parity+ alongside resume.
+    """
+
+    def __init__(self) -> None:
+        self._last: threading.Thread | None = None
+        self._errors: list[BaseException] = []
+
+    def submit(self, state: Any, jobs: list[dict[str, Any]]) -> list[Path]:
+        """Queue ``state`` (a device clone) for saving under each job spec.
+
+        Returns the target paths immediately (filenames are deterministic).
+        Each submit runs on its own non-daemon thread chained behind the
+        previous one, so (a) same-file writes stay ordered across epochs and
+        (b) queued saves still complete if the main thread raises — the
+        interpreter waits for non-daemon threads, and each one terminates
+        after its own job (no idle worker to hang on).
+        """
+        paths = [
+            Path(job["directory"])
+            / checkpoint_filename(
+                job.get("template"),
+                experiment_name=job["experiment_name"],
+                metric_name=job.get("metric_name"),
+                metric_value=job.get("metric_value"),
+                epoch=job["epoch"],
+            )
+            for job in jobs
+        ]
+        # Kick off the device->host copies now so the worker's np.asarray
+        # mostly finds the bytes already landed (best effort; not all
+        # backends implement the async copy hint).
+        try:
+            jax.tree_util.tree_map(
+                lambda a: a.copy_to_host_async()
+                if hasattr(a, "copy_to_host_async")
+                else None,
+                state,
+            )
+        except Exception:
+            pass
+
+        prev = self._last
+        errors = self._errors
+
+        def _work() -> None:
+            if prev is not None:
+                prev.join()
+            try:
+                host = state_to_host(state)
+                for job in jobs:
+                    save_checkpoint(host_arrays=host, state=None, **job)
+            except BaseException as exc:  # surfaced by wait()
+                errors.append(exc)
+
+        thread = threading.Thread(
+            target=_work, name="ttamm-ckpt-writer", daemon=False
+        )
+        thread.start()
+        self._last = thread
+        return paths
+
+    def wait(self) -> None:
+        """Drain pending saves; re-raise the first background failure."""
+        if self._last is not None:
+            self._last.join()
+            self._last = None
+        if self._errors:
+            raise RuntimeError(
+                "Async checkpoint save failed"
+            ) from self._errors[0]
 
 
 def load_checkpoint(
