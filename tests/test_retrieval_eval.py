@@ -147,6 +147,66 @@ def test_metrics_pipeline_end():
     assert 0.0 <= metrics.recall[5] <= 1.0
 
 
+@pytest.mark.parametrize("seed,block_heavy", [(0, False), (1, True), (2, False)])
+def test_hit_matrix_metrics_match_dict_path(seed, block_heavy):
+    """evaluate_retrieval_metrics (device-side hit matrix) must equal
+    compute_ranking_metrics over the dict path exactly — including the
+    GT-append quirk and the search_limit cap."""
+    from ttamm_tpu.evaluation import (
+        build_eval_plan,
+        compute_ranking_metrics,
+        evaluate_retrieval_metrics,
+    )
+
+    cfg, state, data, positives, rng = _setup(seed=seed)
+    num_users, num_items = 20, 15
+    # Multi-GT users (1-3 held-out items each) exercise append positions.
+    rows = []
+    for u in range(num_users):
+        for it in {int(x) for x in rng.integers(0, num_items, int(rng.integers(1, 4)))}:
+            rows.append((u, it))
+    val = pd.DataFrame(
+        {"user_idx": [r[0] for r in rows], "item_idx": [r[1] for r in rows]}
+    )
+    if block_heavy:
+        # Block most of the corpus: nvalid < search_limit for everyone.
+        train_blocked = {
+            u: {int(x) for x in rng.integers(0, num_items, 12)}
+            for u in range(num_users)
+        }
+    else:
+        train_blocked = {u: set(list(positives[u])[:2]) for u in range(num_users)}
+
+    k_values = [5, 10]
+    plan = build_eval_plan(
+        val, train_blocked,
+        num_users=num_users, num_items=num_items,
+        k_values=k_values, user_batch_size=7,
+    )
+    preds, gts = evaluate_retrieval(
+        state, data, cfg,
+        val_interactions=val,
+        train_positive_map=train_blocked,
+        num_items=num_items,
+        k_values=k_values,
+        use_mips=True,
+        user_batch_size=7,
+        topk_chunk_size=4,
+        plan=plan,
+    )
+    want = compute_ranking_metrics(preds, gts, k_values, include_per_user=False)
+    got = evaluate_retrieval_metrics(
+        state, data, cfg, plan=plan, k_values=k_values, topk_chunk_size=4
+    )
+    for k in k_values:
+        assert got.recall[k] == pytest.approx(want.recall[k], abs=1e-12)
+        assert got.precision[k] == pytest.approx(want.precision[k], abs=1e-12)
+        assert got.ndcg[k] == pytest.approx(want.ndcg[k], abs=1e-12)
+        assert got.hit_rate[k] == pytest.approx(want.hit_rate[k], abs=1e-12)
+        assert got.map[k] == pytest.approx(want.map[k], abs=1e-12)
+    assert got.mrr == pytest.approx(want.mrr, abs=1e-12)
+
+
 def test_eval_plan_matches_batched_path():
     """The one-dispatch scan path (EvalPlan) must reproduce the per-batch
     path (and therefore the reference post-processing) exactly."""

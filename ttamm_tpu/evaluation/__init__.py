@@ -5,8 +5,18 @@ from .embeddings import (
     summarize_user_alignment,
 )
 from .feature_correlation import compute_feature_correlations
-from .metrics import RankingMetrics, compute_ranking_metrics, per_user_metrics
-from .retrieval import EvalPlan, build_eval_plan, evaluate_retrieval
+from .metrics import (
+    RankingMetrics,
+    compute_ranking_metrics,
+    metrics_from_hit_matrix,
+    per_user_metrics,
+)
+from .retrieval import (
+    EvalPlan,
+    build_eval_plan,
+    evaluate_retrieval,
+    evaluate_retrieval_metrics,
+)
 
 __all__ = [
     "EvalPlan",
@@ -17,6 +27,8 @@ __all__ = [
     "compute_mimic_statistics",
     "compute_ranking_metrics",
     "evaluate_retrieval",
+    "evaluate_retrieval_metrics",
+    "metrics_from_hit_matrix",
     "per_user_metrics",
     "summarize_embedding_norms",
     "summarize_user_alignment",

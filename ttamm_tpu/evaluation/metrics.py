@@ -105,6 +105,15 @@ def _vectorized_tables(
             if item in gt:
                 hit[row, pos] = 1.0
 
+    tables, mrr = _tables_from_hits(hit, gt_sizes, k_values)
+    return hit, tables, mrr, users
+
+
+def _tables_from_hits(
+    hit: np.ndarray, gt_sizes: np.ndarray, k_values: Sequence[int]
+) -> tuple[dict[int, dict[str, np.ndarray]], np.ndarray]:
+    """Per-user metric tables from a [n, max_k] 0/1 hit matrix."""
+    max_k = hit.shape[1]
     cum_hits = np.cumsum(hit, axis=1)  # [n, max_k]
     discounts = 1.0 / np.log2(np.arange(max_k) + 2.0)
     dcg = np.cumsum(hit * discounts, axis=1)
@@ -131,7 +140,49 @@ def _vectorized_tables(
     first_hit = np.argmax(hit > 0, axis=1)
     any_hit = hit.max(axis=1) > 0
     mrr = np.where(any_hit, 1.0 / (first_hit + 1.0), 0.0)
-    return hit, tables, mrr, users
+    return tables, mrr
+
+
+def metrics_from_hit_matrix(
+    hit: np.ndarray,
+    gt_sizes: np.ndarray,
+    k_values: Iterable[int],
+) -> RankingMetrics:
+    """Macro-averaged :class:`RankingMetrics` straight from a hit matrix.
+
+    ``hit[u, p] == 1`` iff position ``p`` of user ``u``'s prediction list
+    holds a ground-truth item. Identical math to
+    :func:`compute_ranking_metrics` with the dict-building skipped — the
+    fast path for the scan-based retrieval eval, which produces hit
+    matrices on device (``evaluation/retrieval.py``).
+    """
+    k_list = list(k_values)
+    empty = RankingMetrics(
+        recall={k: 0.0 for k in k_list},
+        precision={k: 0.0 for k in k_list},
+        ndcg={k: 0.0 for k in k_list},
+        hit_rate={k: 0.0 for k in k_list},
+        map={k: 0.0 for k in k_list},
+        mrr=0.0,
+        per_user=[],
+    )
+    if not k_list or hit.shape[0] == 0:
+        return empty
+    keep = gt_sizes > 0  # skip empty-GT users (ref metrics.py:95-97)
+    hit = np.asarray(hit[keep], dtype=np.float64)
+    gt_sizes = np.asarray(gt_sizes[keep], dtype=np.float64)
+    if hit.shape[0] == 0:
+        return empty
+    tables, mrr = _tables_from_hits(hit, gt_sizes, k_list)
+    return RankingMetrics(
+        recall={k: float(tables[k]["recall"].mean()) for k in k_list},
+        precision={k: float(tables[k]["precision"].mean()) for k in k_list},
+        ndcg={k: float(tables[k]["ndcg"].mean()) for k in k_list},
+        hit_rate={k: float(tables[k]["hit_rate"].mean()) for k in k_list},
+        map={k: float(tables[k]["map"].mean()) for k in k_list},
+        mrr=float(mrr.mean()),
+        per_user=[],
+    )
 
 
 def compute_ranking_metrics(

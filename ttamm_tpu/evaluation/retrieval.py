@@ -145,6 +145,8 @@ class EvalPlan:
     blocked_rows: jax.Array  # int32 [num_users, W] train positives, fill>=N
     deep_k: int
     num_items: int
+    gt_mat: jax.Array  # int32 [nb, bs, gt_cap] ground truth, -1 padded
+    gt_sizes: np.ndarray  # int32 [nb, bs] |GT| per (padded) user row
 
 
 def build_eval_plan(
@@ -183,6 +185,11 @@ def build_eval_plan(
             train_positive_map, num_users=num_users, num_items=num_items
         )
         blocked_rows = jnp.asarray(packed.rows)
+    padded_users = [int(u) for u in padded]
+    gt_rows = _pad_rows([sorted(gt_per_user[u]) for u in padded_users], gt_cap, -1)
+    gt_sizes = np.asarray(
+        [len(gt_per_user[u]) for u in padded_users], np.int32
+    ).reshape(nb, bs)
     return EvalPlan(
         batches=tuple(
             tuple(users[start : start + bs]) for start in range(0, n, bs)
@@ -192,6 +199,8 @@ def build_eval_plan(
         blocked_rows=blocked_rows,
         deep_k=min(max_k + gt_cap, num_items),
         num_items=num_items,
+        gt_mat=jnp.asarray(gt_rows.reshape(nb, bs, gt_cap)),
+        gt_sizes=gt_sizes,
     )
 
 
@@ -230,6 +239,134 @@ def _scan_encode_search(
 
     _, (idx_all, valid_all) = jax.lax.scan(step, None, user_mat)
     return idx_all, valid_all
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "deep_k", "chunk", "cosine", "max_k")
+)
+def _scan_encode_search_hits(
+    state: TrainState,
+    data: BatchData,
+    cfg: ModelConfig,
+    user_mat: jax.Array,
+    gt_mat: jax.Array,
+    item_embeddings: jax.Array,
+    blocked_rows: jax.Array,
+    *,
+    deep_k: int,
+    chunk: int,
+    cosine: bool,
+    max_k: int,
+) -> jax.Array:
+    """Whole-corpus eval returning the per-user HIT MATRIX on device.
+
+    Fuses the reference's host-side post-processing (filter -> cap ->
+    GT-append -> truncate, ref ``training.py:944-972``) into the eval scan
+    as position arithmetic, so only a [users, max_k] bit matrix crosses the
+    tunnel instead of per-user index lists:
+
+    - masked/invalid entries score -inf, so top-k already orders the
+      ``nvalid`` real candidates first — the "filter" is a prefix;
+    - the cap keeps the first ``limit = min(max_k + |GT|, nvalid)`` entries;
+    - appended missing-GT items are all hits by construction, so they
+      occupy positions ``limit .. limit+missing-1`` regardless of which GT
+      item lands where (set iteration order cannot change the matrix).
+
+    Returns hits bool [nb, bs, max_k]; feed to
+    ``metrics_from_hit_matrix`` with the plan's ``gt_sizes``.
+    """
+
+    def step(_, xs):
+        u_idx, gt_b = xs
+        queries = encode_user_batch(state, data, cfg, u_idx)
+        mask_rows = jnp.take(blocked_rows, u_idx, axis=0)
+        scores, idx = mips_topk(
+            queries,
+            item_embeddings,
+            k=deep_k,
+            chunk_size=chunk,
+            mask_rows=mask_rows,
+            normalize_queries=cosine,
+        )
+        valid = scores > _VALID_THRESHOLD  # [bs, deep_k]
+        nvalid = jnp.sum(valid.astype(jnp.int32), axis=-1)  # [bs]
+        gt_size = jnp.sum((gt_b >= 0).astype(jnp.int32), axis=-1)  # [bs]
+        limit = jnp.minimum(max_k + gt_size, nvalid)  # [bs]
+        jpos = jnp.arange(deep_k, dtype=jnp.int32)
+        pre = (idx[:, :, None] == gt_b[:, None, :]) & (
+            jpos[None, :, None] < limit[:, None, None]
+        )  # [bs, deep_k, gt_cap]
+        found = jnp.sum(jnp.any(pre, axis=1).astype(jnp.int32), axis=-1)
+        missing = gt_size - found
+        w = min(deep_k, max_k)
+        direct = jnp.any(pre, axis=-1)[:, :w]  # [bs, w]
+        if w < max_k:
+            direct = jnp.pad(direct, ((0, 0), (0, max_k - w)))
+        kpos = jnp.arange(max_k, dtype=jnp.int32)[None, :]
+        appended = (kpos >= limit[:, None]) & (
+            kpos < (limit + missing)[:, None]
+        )
+        return None, direct | appended
+
+    _, hits = jax.lax.scan(
+        step, None, (user_mat, gt_mat)
+    )
+    return hits
+
+
+def evaluate_retrieval_metrics(
+    state: TrainState,
+    data: BatchData,
+    cfg: ModelConfig,
+    *,
+    plan: EvalPlan,
+    k_values: Iterable[int],
+    item_embeddings: jax.Array | None = None,
+    topk_chunk_size: int = 8192,
+):
+    """One-dispatch retrieval eval straight to :class:`RankingMetrics`.
+
+    Metric-identical to ``compute_ranking_metrics(*evaluate_retrieval(...))``
+    (pinned by ``tests/test_retrieval_eval.py``) but skips the per-user
+    Python post-processing and dict building on both sides — at 200k users
+    that is ~4 s of host loops per eval replaced by vectorized numpy over
+    the device-computed hit matrix.
+    """
+    from .metrics import metrics_from_hit_matrix
+
+    k_list = list(k_values)
+    max_k = max(k_list)
+    cosine = cfg.similarity == "cosine"
+    if item_embeddings is None:
+        item_embeddings = encode_corpus(
+            state, data, cfg, "item", num_rows=plan.num_items
+        )
+    if cosine:
+        item_embeddings = item_embeddings / jnp.maximum(
+            jnp.linalg.norm(item_embeddings, axis=-1, keepdims=True), 1e-12
+        )
+    hits = _scan_encode_search_hits(
+        state, data, cfg, plan.user_mat, plan.gt_mat, item_embeddings,
+        plan.blocked_rows,
+        deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
+        max_k=max_k,
+    )
+    hits_np = np.asarray(jax.device_get(hits))  # [nb, bs, max_k]
+    # Drop the pad rows (short final batch repeats its last user; counting
+    # the repeats would skew the macro average).
+    rows = [
+        hits_np[b, : len(chunk_users)]
+        for b, chunk_users in enumerate(plan.batches)
+    ]
+    sizes = [
+        plan.gt_sizes[b, : len(chunk_users)]
+        for b, chunk_users in enumerate(plan.batches)
+    ]
+    return metrics_from_hit_matrix(
+        np.concatenate(rows, axis=0),
+        np.concatenate(sizes, axis=0),
+        k_list,
+    )
 
 
 def _postprocess_mips_rows(

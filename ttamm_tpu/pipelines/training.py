@@ -50,6 +50,7 @@ from ..evaluation import (
     compute_ranking_metrics,
     build_eval_plan,
     evaluate_retrieval,
+    evaluate_retrieval_metrics,
     summarize_embedding_norms,
     summarize_user_alignment,
 )
@@ -796,25 +797,36 @@ def run_single_experiment(
                 eval_step, multi_eval_step, state, data, val_users, val_items,
                 batch_size, jax.random.fold_in(step_key, 7_000_003),
             )
-            rng = np.random.default_rng(rng_seed * 997 + epoch)
-            val_predictions, val_ground_truth = evaluate_retrieval(
-                state, data, model_cfg,
-                val_interactions=val_df,
-                train_positive_map=train_positive_map,
-                num_items=num_items,
-                k_values=metrics_k,
-                use_mips=mips_enabled,
-                candidate_samples=candidate_samples,
-                rng=rng,
-                user_batch_size=eval_user_batch,
-                item_embeddings=item_embeddings,
-                topk_chunk_size=topk_chunk,
-                plan=val_eval_plan,
-            )
-            val_metrics = compute_ranking_metrics(
-                val_predictions, val_ground_truth, metrics_k,
-                include_per_user=False,  # unused at 200k users; 4x faster
-            )
+            if val_eval_plan is not None and mips_enabled:
+                # Hit-matrix fast path: the reference post-processing runs
+                # on device inside the eval scan; metric-identical to the
+                # dict path (tests/test_retrieval_eval.py).
+                val_metrics = evaluate_retrieval_metrics(
+                    state, data, model_cfg,
+                    plan=val_eval_plan,
+                    k_values=metrics_k,
+                    item_embeddings=item_embeddings,
+                    topk_chunk_size=topk_chunk,
+                )
+            else:
+                rng = np.random.default_rng(rng_seed * 997 + epoch)
+                val_predictions, val_ground_truth = evaluate_retrieval(
+                    state, data, model_cfg,
+                    val_interactions=val_df,
+                    train_positive_map=train_positive_map,
+                    num_items=num_items,
+                    k_values=metrics_k,
+                    use_mips=mips_enabled,
+                    candidate_samples=candidate_samples,
+                    rng=rng,
+                    user_batch_size=eval_user_batch,
+                    item_embeddings=item_embeddings,
+                    topk_chunk_size=topk_chunk,
+                )
+                val_metrics = compute_ranking_metrics(
+                    val_predictions, val_ground_truth, metrics_k,
+                    include_per_user=False,  # unused at 200k users; 4x faster
+                )
             last_val_metrics = val_metrics
             for k in metrics_k:
                 logger.info(
@@ -836,25 +848,33 @@ def run_single_experiment(
                 batch_size, jax.random.fold_in(step_key, 9_000_001),
             )
             history.test_loss.append(float(test_loss_value))
-            rng = np.random.default_rng(rng_seed * 199 + epoch)
-            test_predictions, test_ground_truth = evaluate_retrieval(
-                state, data, model_cfg,
-                val_interactions=test_df,
-                train_positive_map=train_positive_map,
-                num_items=num_items,
-                k_values=metrics_k,
-                use_mips=mips_enabled,
-                candidate_samples=candidate_samples,
-                rng=rng,
-                user_batch_size=eval_user_batch,
-                item_embeddings=item_embeddings,
-                topk_chunk_size=topk_chunk,
-                plan=test_eval_plan,
-            )
-            last_test_metrics = compute_ranking_metrics(
-                test_predictions, test_ground_truth, metrics_k,
-                include_per_user=False,
-            )
+            if test_eval_plan is not None and mips_enabled:
+                last_test_metrics = evaluate_retrieval_metrics(
+                    state, data, model_cfg,
+                    plan=test_eval_plan,
+                    k_values=metrics_k,
+                    item_embeddings=item_embeddings,
+                    topk_chunk_size=topk_chunk,
+                )
+            else:
+                rng = np.random.default_rng(rng_seed * 199 + epoch)
+                test_predictions, test_ground_truth = evaluate_retrieval(
+                    state, data, model_cfg,
+                    val_interactions=test_df,
+                    train_positive_map=train_positive_map,
+                    num_items=num_items,
+                    k_values=metrics_k,
+                    use_mips=mips_enabled,
+                    candidate_samples=candidate_samples,
+                    rng=rng,
+                    user_batch_size=eval_user_batch,
+                    item_embeddings=item_embeddings,
+                    topk_chunk_size=topk_chunk,
+                )
+                last_test_metrics = compute_ranking_metrics(
+                    test_predictions, test_ground_truth, metrics_k,
+                    include_per_user=False,
+                )
         else:
             history.test_loss.append(float("nan"))
 
