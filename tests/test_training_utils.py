@@ -82,11 +82,14 @@ def test_pick_steps_per_call_minimizes_dispatches():
 
     assert _pick_steps_per_call(0) == 1
     assert _pick_steps_per_call(1) == 1
-    # 747 = 9 * 83: a perfect divisor under the cap wins (9 calls, no tail)
-    assert _pick_steps_per_call(747) == 83
-    # exhaustive check of optimality for a range of sizes
-    for n in (2, 5, 16, 100, 128, 129, 747, 1000):
-        k = _pick_steps_per_call(n)
-        cost = n // k + n % k
-        best = min(n // c + n % c for c in range(1, min(128, n) + 1))
-        assert cost == best, (n, k)
+    # under the cap the whole epoch is one scanned dispatch
+    assert _pick_steps_per_call(747) == 747
+    # 747 = 9 * 83: with a tighter cap a perfect divisor wins (9 calls)
+    assert _pick_steps_per_call(747, cap=128) == 83
+    # exhaustive check of optimality for a range of sizes and caps
+    for cap in (128, 8192):
+        for n in (2, 5, 16, 100, 128, 129, 747, 1000, 9000):
+            k = _pick_steps_per_call(n, cap=cap)
+            cost = n // k + n % k
+            best = min(n // c + n % c for c in range(1, min(cap, n) + 1))
+            assert cost == best, (n, cap, k)

@@ -293,13 +293,16 @@ def _log_recommendations(
     return results
 
 
-def _pick_steps_per_call(num_full_batches: int, cap: int = 128) -> int:
+def _pick_steps_per_call(num_full_batches: int, cap: int = 8192) -> int:
     """Scan length K minimizing device dispatches per epoch.
 
     An epoch issues ``num_full//K`` scanned calls plus ``num_full % K``
     single-step calls for the tail chunk; through the high-latency dev
     tunnel the dispatch count is what matters, so pick the K <= cap that
-    minimizes their sum (e.g. 747 full batches -> K=83: 9 calls, no tail).
+    minimizes their sum. Whenever the epoch fits under the cap that is
+    K == num_full: the entire epoch's train loop becomes ONE ``lax.scan``
+    dispatch (scan length does not affect compile time, and the epoch's
+    batch indices are uploaded as one array either way).
     """
     if num_full_batches <= 1:
         return max(num_full_batches, 1)
@@ -719,8 +722,15 @@ def run_single_experiment(
         perm = epoch_rng.permutation(len(train_users))
         num_full = len(perm) // batch_size
         full_count = num_full * batch_size
-        u_full = train_users[perm[:full_count]].reshape(num_full, batch_size)
-        p_full = train_items[perm[:full_count]].reshape(num_full, batch_size)
+        # ONE host->device upload for the whole epoch's batch indices;
+        # chunks below are device-side slices (no per-chunk transfer
+        # round trips through the tunnel).
+        u_full = jnp.asarray(
+            train_users[perm[:full_count]].reshape(num_full, batch_size)
+        )
+        p_full = jnp.asarray(
+            train_items[perm[:full_count]].reshape(num_full, batch_size)
+        )
         profiling = bool(profile_dir) and epoch == start_epoch
         if profiling:
             jax.profiler.start_trace(str(profile_dir))
@@ -732,8 +742,8 @@ def run_single_experiment(
                 state, losses = multi_step(
                     state,
                     data,
-                    jnp.asarray(u_chunk),
-                    jnp.asarray(p_chunk),
+                    u_chunk,
+                    p_chunk,
                     jax.random.fold_in(step_key, 100_000 + chunk_idx),
                 )
                 pending.append((losses, batch_size * steps_per_call))
@@ -742,8 +752,8 @@ def run_single_experiment(
                     state, metrics = train_step(
                         state,
                         data,
-                        jnp.asarray(u_chunk[row]),
-                        jnp.asarray(p_chunk[row]),
+                        u_chunk[row],
+                        p_chunk[row],
                         jax.random.fold_in(step_key, start + row),
                     )
                     pending.append((metrics["loss"], batch_size))
@@ -765,9 +775,20 @@ def run_single_experiment(
             jax.profiler.stop_trace()
             logger.info("Wrote profiler trace for epoch %d to %s", epoch, profile_dir)
 
-        for loss_dev, n in pending:
-            running_loss += float(np.mean(np.asarray(loss_dev))) * n
-            seen += n
+        if pending:
+            # One concatenated pull for every chunk's losses — each
+            # np.asarray would otherwise be its own high-latency tunnel
+            # round trip (~13/epoch at steps_per_call=124).
+            flat = jnp.concatenate(
+                [jnp.ravel(jnp.asarray(l)) for l, _ in pending]
+            )
+            vals = np.asarray(jax.device_get(flat))
+            pos = 0
+            for loss_dev, n in pending:
+                cnt = int(np.prod(jnp.shape(loss_dev))) if jnp.shape(loss_dev) else 1
+                running_loss += float(vals[pos : pos + cnt].mean()) * n
+                pos += cnt
+                seen += n
         avg_loss = running_loss / max(seen, 1)
         epoch_seconds = time.time() - epoch_start
         total_examples += seen
@@ -780,6 +801,15 @@ def run_single_experiment(
             avg_loss,
             seen / max(epoch_seconds, 1e-9),
         )
+
+        phase_t: dict[str, float] = {"train": epoch_seconds}
+        _tick = time.time()
+
+        def _lap(name: str) -> None:
+            nonlocal _tick
+            now = time.time()
+            phase_t[name] = now - _tick
+            _tick = now
 
         # Per-epoch full item-corpus re-encode (the FAISS rebuild analog).
         item_embeddings = None
@@ -797,6 +827,7 @@ def run_single_experiment(
                 eval_step, multi_eval_step, state, data, val_users, val_items,
                 batch_size, jax.random.fold_in(step_key, 7_000_003),
             )
+            _lap("val_loss")
             if val_eval_plan is not None and mips_enabled:
                 # Hit-matrix fast path: the reference post-processing runs
                 # on device inside the eval scan; metric-identical to the
@@ -827,6 +858,7 @@ def run_single_experiment(
                     val_predictions, val_ground_truth, metrics_k,
                     include_per_user=False,  # unused at 200k users; 4x faster
                 )
+            _lap("val_eval")
             last_val_metrics = val_metrics
             for k in metrics_k:
                 logger.info(
@@ -847,6 +879,7 @@ def run_single_experiment(
                 eval_step, multi_eval_step, state, data, test_users, test_items,
                 batch_size, jax.random.fold_in(step_key, 9_000_001),
             )
+            _lap("test_loss")
             history.test_loss.append(float(test_loss_value))
             if test_eval_plan is not None and mips_enabled:
                 last_test_metrics = evaluate_retrieval_metrics(
@@ -875,6 +908,7 @@ def run_single_experiment(
                     test_predictions, test_ground_truth, metrics_k,
                     include_per_user=False,
                 )
+            _lap("test_eval")
         else:
             history.test_loss.append(float("nan"))
 
@@ -983,6 +1017,11 @@ def run_single_experiment(
                     best_checkpoint_path = path
                 elif role == "last":
                     last_checkpoint_path = path
+        _lap("ckpt")
+        logger.info(
+            "Epoch timing | %s",
+            " ".join(f"{k}={v:.1f}s" for k, v in phase_t.items()),
+        )
 
         if should_stop:
             logger.info(
