@@ -115,3 +115,36 @@ def test_concat_fusion_projection():
         dense, cfg, jnp.take(table, jnp.array([0, 1]), axis=0), jnp.ones((2, 5))
     )
     assert out.shape == (2, 12)
+
+
+def test_tower_gate_values_range_and_consistency():
+    from ttamm_tpu.evaluation import summarize_gate_values
+    from ttamm_tpu.models.encoders import tower_gate_values
+
+    cfg = _gated_cfg(feature_dim=5)
+    table, dense = init_tower(jax.random.key(0), cfg, num_embeddings=10)
+    idx = jnp.array([0, 3, 7])
+    rows = jnp.take(table, idx, axis=0)
+    feats = jnp.ones((3, 5))
+
+    gate = tower_gate_values(dense, cfg, rows, feats)
+    assert gate.shape == (3, 8)
+    g = np.asarray(gate)
+    assert np.all(g > 0.0) and np.all(g < 1.0)
+
+    # the blend the gate reports must equal tower_forward's output
+    from ttamm_tpu.models.encoders import apply_feature_encoder
+
+    feat_repr = apply_feature_encoder(dense, cfg, feats, train=False, dropout_rng=None)
+    blended = gate * rows + (1.0 - gate) * feat_repr
+    out = tower_forward(dense, cfg, rows, feats)
+    np.testing.assert_allclose(np.asarray(blended), np.asarray(out), rtol=1e-6)
+
+    stats = summarize_gate_values(g)
+    assert stats["rows"] == 3
+    assert 0.0 <= stats["id_dominant_fraction"] <= 1.0
+    assert stats["min"] <= stats["mean"] <= stats["max"]
+
+    # non-gated towers / missing features report no gate
+    assert tower_gate_values(dense, cfg, rows, None) is None
+    assert summarize_gate_values(None) == {}

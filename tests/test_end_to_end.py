@@ -129,6 +129,11 @@ def test_end_to_end_run_and_artifacts(synth_dir, tmp_path):
     assert (artifact_dir / "item_embeddings.npy").exists()
     payload = json.loads((artifact_dir / "diag.json").read_text())
     assert payload["monitor_metric"] == "recall@5"
+    gate_stats = payload["embedding_stats"]["fusion_gate"]
+    for side in ("user", "item"):  # both towers are gated in this config
+        assert gate_stats[side]["rows"] > 0
+        assert 0.0 < gate_stats[side]["mean"] < 1.0
+    assert "fusion gate" in (artifact_dir / "report.md").read_text()
     assert list((artifact_dir / "checkpoints").glob("*last.pt"))
     assert result.examples_per_second is not None and result.examples_per_second > 0
 

@@ -2,6 +2,7 @@ from .embeddings import (
     analyze_item_neighbors,
     compute_mimic_statistics,
     summarize_embedding_norms,
+    summarize_gate_values,
     summarize_user_alignment,
 )
 from .feature_correlation import compute_feature_correlations
@@ -31,5 +32,6 @@ __all__ = [
     "metrics_from_hit_matrix",
     "per_user_metrics",
     "summarize_embedding_norms",
+    "summarize_gate_values",
     "summarize_user_alignment",
 ]

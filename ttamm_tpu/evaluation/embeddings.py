@@ -130,6 +130,26 @@ def summarize_user_alignment(
     }
 
 
+def summarize_gate_values(gate: np.ndarray | None) -> dict[str, float]:
+    """Distribution stats of fusion-gate activations for one tower.
+
+    ``id_dominant_fraction`` is the share of gate entries > 0.5, i.e. how
+    often the blend leans on the ID embedding over the metadata features
+    (gate semantics: ``g*id + (1-g)*feat``, ref ``encoders.py:164-168``).
+    """
+    if gate is None or np.asarray(gate).size == 0:
+        return {}
+    gate = np.asarray(gate, np.float32)
+    return {
+        "rows": int(gate.shape[0]),
+        "mean": float(gate.mean()),
+        "std": float(gate.std()),
+        "min": float(gate.min()),
+        "max": float(gate.max()),
+        "id_dominant_fraction": float((gate > 0.5).mean()),
+    }
+
+
 def compute_mimic_statistics(
     tables: dict[str, Any] | None,
     *,

@@ -366,6 +366,21 @@ def apply_feature_encoder(
     )
 
 
+def gate_values(
+    dense: Params,
+    id_repr: jax.Array,
+    feat_repr: jax.Array,
+    compute_dtype: str = "float32",
+) -> jax.Array:
+    """The σ(MLP([id;feat])) gate itself — 1.0 means the blend is all-ID,
+    0.0 all-feature (``encoders.py:164-167``). Exposed for the
+    gate-statistics diagnostic."""
+    gate_params = dense["gate"]
+    h = jnp.concatenate([id_repr, feat_repr], axis=-1)
+    h = jax.nn.relu(_dot(h, gate_params["fc1"]["w"], compute_dtype) + gate_params["fc1"]["b"])
+    return jax.nn.sigmoid(_dot(h, gate_params["fc2"]["w"], compute_dtype) + gate_params["fc2"]["b"])
+
+
 def apply_gate(
     dense: Params,
     id_repr: jax.Array,
@@ -374,11 +389,26 @@ def apply_gate(
 ) -> jax.Array:
     """σ-gate blend: ``g*id + (1-g)*feat`` with g = σ(MLP([id;feat]))
     (``encoders.py:164-168``)."""
-    gate_params = dense["gate"]
-    h = jnp.concatenate([id_repr, feat_repr], axis=-1)
-    h = jax.nn.relu(_dot(h, gate_params["fc1"]["w"], compute_dtype) + gate_params["fc1"]["b"])
-    gate = jax.nn.sigmoid(_dot(h, gate_params["fc2"]["w"], compute_dtype) + gate_params["fc2"]["b"])
+    gate = gate_values(dense, id_repr, feat_repr, compute_dtype)
     return gate * id_repr + (1.0 - gate) * feat_repr
+
+
+def tower_gate_values(
+    dense: Params,
+    cfg: TowerConfig,
+    id_rows: jax.Array,
+    features: jax.Array | None,
+) -> jax.Array | None:
+    """Gate values for already-gathered rows, or None when the tower does
+    not blend via a gate (fusion != 'gated' or no features at runtime)."""
+    if cfg.fusion != "gated" or cfg.feature_encoder is None or features is None:
+        return None
+    if cfg.embedding.max_norm is not None:
+        norms = jnp.linalg.norm(id_rows, axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, cfg.embedding.max_norm / jnp.maximum(norms, 1e-12))
+        id_rows = id_rows * scale
+    feat_repr = apply_feature_encoder(dense, cfg, features, train=False, dropout_rng=None)
+    return gate_values(dense, id_rows, feat_repr, cfg.compute_dtype)
 
 
 def tower_forward(

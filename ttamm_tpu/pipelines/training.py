@@ -47,6 +47,7 @@ from ..evaluation import (
     analyze_item_neighbors,
     compute_feature_correlations,
     compute_mimic_statistics,
+    summarize_gate_values,
     compute_ranking_metrics,
     build_eval_plan,
     evaluate_retrieval,
@@ -1119,6 +1120,27 @@ def run_single_experiment(
             user_sample_embeddings, user_feature_subset
         ),
     }
+
+    # Fusion-gate statistics (BASELINE config #4: "adaptive mimic gate
+    # enabled with mimic loss + gate-statistics diagnostics"): how strongly
+    # each tower's σ-gate leans ID vs metadata features on the sample rows.
+    from ..models.encoders import tower_gate_values
+
+    gate_stats: dict[str, dict[str, float]] = {}
+    for side, idx, feats_arr in (
+        ("user", user_sample, data.user_features),
+        ("item", item_sample, data.item_features),
+    ):
+        tower_cfg = model_cfg.user_tower if side == "user" else model_cfg.item_tower
+        gate = None
+        if idx.size and feats_arr is not None and tower_cfg.fusion == "gated":
+            id_rows = jnp.take(state.tables[f"{side}_id"], jnp.asarray(idx), axis=0)
+            feats = jnp.take(feats_arr, jnp.asarray(idx), axis=0)
+            g = tower_gate_values(state.dense[f"{side}_tower"], tower_cfg, id_rows, feats)
+            gate = np.asarray(g) if g is not None else None
+        gate_stats[side] = summarize_gate_values(gate)
+    embedding_stats["fusion_gate"] = gate_stats
+
     mimic_stats = compute_mimic_statistics(
         state.tables if model_cfg.mimic_enabled else None,
         user_indices=user_sample,

@@ -104,6 +104,13 @@ def write_recommendation_report(
         f"- User embedding vs. feature alignment (cosine): "
         f"mean={alignment['cosine_mean']:.4f}, std={alignment['cosine_std']:.4f}"
     )
+    for side, stats in (embedding_stats.get("fusion_gate") or {}).items():
+        if stats:
+            lines.append(
+                f"- {side.capitalize()} fusion gate: mean={stats['mean']:.4f}, "
+                f"std={stats['std']:.4f}, "
+                f"ID-dominant fraction={stats['id_dominant_fraction']:.4f}"
+            )
     lines.append("")
 
     if feature_correlations:
