@@ -112,3 +112,52 @@ def test_segment_second_moments_grad_matches_xla_loss():
     assert np.allclose(float(val_x), float(val_p), rtol=5e-3)
     scale = np.max(np.abs(np.asarray(grad_x))) + 1e-9
     assert np.max(np.abs(np.asarray(grad_x) - np.asarray(grad_p))) / scale < 2e-2
+
+
+class TestSmallKTopK:
+    """ops/pallas/topk.py: exact lax.top_k replacement (interpret mode)."""
+
+    def _check(self, x, k):
+        import jax
+
+        from ttamm_tpu.ops.pallas.topk import small_k_topk
+
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = small_k_topk(x, k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_matches_lax_top_k_random(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((33, 257)).astype(np.float32))
+        self._check(x, 7)
+
+    def test_ties_and_neg_inf_rows(self):
+        # ties -> lowest index first; rows with < k finite entries emit the
+        # -inf lanes in ascending index order, exactly like lax.top_k.
+        x = np.full((4, 300), -np.inf, np.float32)
+        x[0, :] = 1.5  # all tied
+        x[1, 5] = 2.0  # single finite value
+        x[2, 10:20] = np.arange(10, dtype=np.float32)
+        self._check(jnp.asarray(x), 12)
+
+    def test_k_boundaries(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((8, 130)).astype(np.float32))
+        self._check(x, 1)
+        self._check(x, 128)
+
+    def test_row_topk_dispatch(self):
+        from ttamm_tpu.ops.topk import _row_topk
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+        # non-pallas path == lax
+        v, i = _row_topk(x, 3, use_pallas=False)
+        v1, i1 = jax.lax.top_k(x, 3)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))
+        # k > 128 falls back to lax even when pallas requested
+        wide = jnp.asarray(rng.standard_normal((4, 300)).astype(np.float32))
+        v, i = _row_topk(wide, 200, use_pallas=True)
+        v1, i1 = jax.lax.top_k(wide, 200)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))

@@ -22,17 +22,32 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _row_topk(
+    x: jax.Array, k: int, use_pallas: bool
+) -> tuple[jax.Array, jax.Array]:
+    """``lax.top_k`` or, on TPU, the Pallas small-k extraction kernel
+    (``ops/pallas/topk.py``) — bit-identical results, measured 6-9x faster
+    at the search shapes (lax lowers index-producing top-k over wide rows
+    to a key-value sort)."""
+    if use_pallas and x.dtype == jnp.float32 and 0 < k <= min(128, x.shape[-1]):
+        from .pallas.topk import small_k_topk
+
+        return small_k_topk(x, k)
+    return jax.lax.top_k(x, k)
+
+
 def _merge_topk(
     scores_a: jax.Array,
     idx_a: jax.Array,
     scores_b: jax.Array,
     idx_b: jax.Array,
     k: int,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Merge two per-row top-k candidate sets into one top-k."""
     scores = jnp.concatenate([scores_a, scores_b], axis=-1)
     idx = jnp.concatenate([idx_a, idx_b], axis=-1)
-    top_scores, pos = jax.lax.top_k(scores, k)
+    top_scores, pos = _row_topk(scores, k, use_pallas)
     top_idx = jnp.take_along_axis(idx, pos, axis=-1)
     return top_scores, top_idx
 
@@ -44,7 +59,10 @@ _GROUP = 128  # items per group (one lane tile; group_exact only)
 
 
 @partial(
-    jax.jit, static_argnames=("k", "chunk_size", "normalize_queries", "algorithm")
+    jax.jit,
+    static_argnames=(
+        "k", "chunk_size", "normalize_queries", "algorithm", "use_pallas"
+    ),
 )
 def mips_topk(
     queries: jax.Array,
@@ -55,6 +73,7 @@ def mips_topk(
     mask_rows: jax.Array | None = None,
     normalize_queries: bool = False,
     algorithm: str = "auto",
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search.
 
@@ -89,6 +108,10 @@ def mips_topk(
     """
     num_items, dim = item_embeddings.shape
     batch = queries.shape[0]
+    if use_pallas is None:
+        # The small-k extraction kernel needs Mosaic; results are
+        # bit-identical to lax.top_k either way.
+        use_pallas = jax.default_backend() == "tpu"
     if normalize_queries:
         queries = queries / jnp.maximum(
             jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
@@ -105,7 +128,8 @@ def mips_topk(
         algorithm = "group_exact" if fits else "chunked"
     if algorithm == "group_exact":
         return _group_exact_topk(
-            queries, item_embeddings, k_eff, mask_rows, num_items
+            queries, item_embeddings, k_eff, mask_rows, num_items,
+            use_pallas=use_pallas,
         )
     chunk = min(chunk_size, max(num_items, 1))
     num_chunks = -(-num_items // chunk)
@@ -130,10 +154,11 @@ def mips_topk(
             blocked = jnp.any(ids[:, :, None] == mask_rows[:, None, :], axis=-1)
             valid = valid & ~blocked
         scores = jnp.where(valid, scores, NEG_INF)
-        local_scores, local_pos = jax.lax.top_k(scores, min(k_eff, chunk))
+        local_scores, local_pos = _row_topk(scores, min(k_eff, chunk), use_pallas)
         local_idx = jnp.take_along_axis(ids, local_pos, axis=-1)
         new_scores, new_idx = _merge_topk(
-            run_scores, run_idx, local_scores, local_idx, k_eff
+            run_scores, run_idx, local_scores, local_idx, k_eff,
+            use_pallas=use_pallas,
         )
         return (new_scores, new_idx), None
 
@@ -165,6 +190,7 @@ def _group_exact_topk(
     num_items: int,
     scores_bytes_budget: int = _SCORES_BYTES_BUDGET,
     _select: str = "einsum",
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Group-max-pruned exact top-k, blocked over queries.
 
@@ -223,7 +249,7 @@ def _group_exact_topk(
             # N=100k on v5e).
             tail_max = jnp.max(s[:, (ng - 1) * g : num_items], axis=-1)
             gmax = jnp.concatenate([gmax[:, : ng - 1], tail_max[:, None]], axis=1)
-        _, gi = jax.lax.top_k(gmax, k_groups)  # [qb, kg]
+        _, gi = _row_topk(gmax, k_groups, use_pallas)  # [qb, kg]
         if _select == "einsum":
             sel = jax.nn.one_hot(gi, ng, dtype=s.dtype)  # [qb, kg, NG]
             cand = jnp.einsum(
@@ -238,7 +264,7 @@ def _group_exact_topk(
             # a selected tail group; mask them at the [qb, kg, G] level.
             ids = gi[:, :, None] * g + jnp.arange(g, dtype=jnp.int32)[None, None, :]
             cand = jnp.where(ids < num_items, cand, NEG_INF)
-        cv, ci = jax.lax.top_k(cand.reshape(qb, k_groups * g), k_eff)
+        cv, ci = _row_topk(cand.reshape(qb, k_groups * g), k_eff, use_pallas)
         group_of = jnp.take_along_axis(gi, ci // g, axis=1)
         return cv, group_of * g + ci % g
 
