@@ -161,3 +161,78 @@ class TestSmallKTopK:
         v, i = _row_topk(wide, 200, use_pallas=True)
         v1, i1 = jax.lax.top_k(wide, 200)
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))
+
+
+class TestSelectTopKFromGroups:
+    """ops/pallas/topk.py select_topk_from_groups: fused candidate selection
+    + final top-k for the group-pruned MIPS search (interpret mode),
+    bit-identical to gathering the candidate rows and running lax.top_k."""
+
+    @staticmethod
+    def _reference(s, gi, k, num_items, g=128):
+        b, pn = s.shape
+        ng = pn // g
+        sg = s.reshape(b, ng, g)
+        cand = np.take_along_axis(sg, gi[:, :, None], axis=1)
+        ids = gi[:, :, None] * g + np.arange(g)[None, None, :]
+        cand = np.where(ids < num_items, cand, np.finfo(np.float32).min)
+        kg = gi.shape[1]
+        cand = cand.reshape(b, kg * g)
+        ids = ids.reshape(b, kg * g)
+        order = np.argsort(-cand, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(cand, order, axis=1),
+            np.take_along_axis(ids, order, axis=1),
+        )
+
+    def _check(self, b, num_items, k, kg, ties=False, sentinel=False, seed=1):
+        from ttamm_tpu.ops.pallas.topk import select_topk_from_groups
+
+        r = np.random.default_rng(seed)
+        g = 128
+        ng = -(-num_items // g)
+        s = r.normal(0, 1, (b, ng * g)).astype(np.float32)
+        if ties:
+            s = np.round(s * 4) / 4
+        if sentinel:
+            # masked-score sentinel (finfo.min overflows bf16 -> the kernel
+            # must survive it via the half-scale split)
+            s[:, :: 7] = np.finfo(np.float32).min
+        s[:, num_items:] = 0.0  # pad columns as the matmul writes them
+        gi = np.stack([r.permutation(ng)[:kg] for _ in range(b)]).astype(np.int32)
+        v, i = select_topk_from_groups(
+            jnp.asarray(s), jnp.asarray(gi), k=k, num_items=num_items,
+            interpret=True,
+        )
+        rv, ri = self._reference(s, gi, k, num_items)
+        np.testing.assert_array_equal(np.asarray(v), rv)
+        np.testing.assert_array_equal(np.asarray(i), ri)
+
+    def test_matches_reference_random(self):
+        self._check(8, 1024, 20, 20)
+
+    def test_pad_tail_inside_selected_groups(self):
+        self._check(8, 1000, 20, 20)
+        self._check(4, 129, 5, 2, ties=True)
+
+    def test_batch_not_multiple_of_rows(self):
+        self._check(5, 1000, 20, 20)
+
+    def test_ties_break_by_group_rank_then_lane(self):
+        self._check(16, 777, 7, 7, ties=True)
+
+    def test_neg_inf_sentinels(self):
+        self._check(6, 1000, 10, 10, sentinel=True)
+
+    def test_production_gate_exactness(self):
+        # _group_exact_topk(_select='pallas') == einsum path, CPU interpret
+        # is exercised above; here just pin the gate's fallback shape logic.
+        from ttamm_tpu.ops.topk import _group_exact_topk
+
+        r = np.random.default_rng(3)
+        q = jnp.asarray(r.normal(0, 1, (4, 16)).astype(np.float32))
+        items = jnp.asarray(r.normal(0, 1, (300, 16)).astype(np.float32))
+        se, ie = _group_exact_topk(q, items, 5, None, 300, _select="einsum")
+        sg_, ig_ = _group_exact_topk(q, items, 5, None, 300, _select="gather")
+        np.testing.assert_array_equal(np.asarray(se), np.asarray(sg_))
+        np.testing.assert_array_equal(np.asarray(ie), np.asarray(ig_))

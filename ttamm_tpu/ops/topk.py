@@ -240,17 +240,36 @@ def _group_exact_topk(
             # N=100k, M=40).
             s = _mask_scatter(s, m)
         sg = s.reshape(qb, ng, g)
-        gmax = jnp.max(sg, axis=-1)  # [qb, NG]
         if padded_n != num_items:
             # The zero pad columns must not inflate the tail group's max
-            # (all-negative tails) — fix the one affected gmax column
-            # instead of -inf-ing the pad columns of s itself (a DUS on the
-            # [qb, NG*G] slab copies the whole array: ~2 ms at B=1024,
-            # N=100k on v5e).
-            tail_max = jnp.max(s[:, (ng - 1) * g : num_items], axis=-1)
-            gmax = jnp.concatenate([gmax[:, : ng - 1], tail_max[:, None]], axis=1)
+            # (all-negative tails). Mask them INSIDE the reduce with an
+            # iota-based [NG, G] validity map: a single fused
+            # elementwise+reduce pass that XLA keeps fused with the matmul.
+            # (The previous tail-column slice+concat formulation defused
+            # the reduction from the matmul — measured +1.74 ms at B=1024,
+            # N=100k on v5e; a DUS -inf pad write on the slab itself is
+            # worse still, ~2 ms.)
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (ng, g), 0) * g
+                + jax.lax.broadcasted_iota(jnp.int32, (ng, g), 1)
+            )
+            valid_cols = (col < num_items)[None]
+            gmax = jnp.max(jnp.where(valid_cols, sg, NEG_INF), axis=-1)
+        else:
+            gmax = jnp.max(sg, axis=-1)  # [qb, NG]
         _, gi = _row_topk(gmax, k_groups, use_pallas)  # [qb, kg]
-        if _select == "einsum":
+        if _select == "pallas" and k_eff <= 32 and g == 128:
+            # Fused selection + final top-k kernel (ops/pallas/topk.py):
+            # bit-identical to the einsum path, kept for study. Measured
+            # ~2.4 ms vs the einsum's ~2.3 ms at B=1024, N=100k, k=20 on
+            # v5e — both bound by the one-hot MXU gather, so the einsum
+            # stays the default.
+            from .pallas.topk import select_topk_from_groups
+
+            return select_topk_from_groups(
+                s, gi, k=k_eff, num_items=num_items, group=g
+            )
+        if _select == "einsum" or _select == "pallas":
             sel = jax.nn.one_hot(gi, ng, dtype=s.dtype)  # [qb, kg, NG]
             cand = jnp.einsum(
                 "bkg,bgj->bkj", sel, sg,
