@@ -260,6 +260,10 @@ def small_k_topk(
     if bp != batch:
         x = jnp.pad(x, ((0, bp - batch), (0, 0)), constant_values=-jnp.inf)
 
+    # Live VMEM is ~4.5x the input block (double-buffered input + int32 key
+    # image + iota + compare temps) — wide rows at large k overflow the
+    # default 16 MB scoped cap, so size the cap to the actual footprint.
+    vmem_limit = min(96 * 1024 * 1024, 5 * rows * wp * 4 + 2 * 1024 * 1024)
     kp = -(-k // 128) * 128  # lane-tile-aligned output columns
     vals, idx = pl.pallas_call(
         partial(_topk_kernel, k=k, width=wp),
@@ -273,6 +277,7 @@ def small_k_topk(
             pl.BlockSpec((rows, kp), lambda i: (i, 0)),
             pl.BlockSpec((rows, kp), lambda i: (i, 0)),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(x)
     return vals[:batch, :k], idx[:batch, :k]

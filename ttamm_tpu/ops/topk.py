@@ -189,7 +189,7 @@ def _group_exact_topk(
     mask_rows: jax.Array | None,
     num_items: int,
     scores_bytes_budget: int = _SCORES_BYTES_BUDGET,
-    _select: str = "einsum",
+    _select: str = "auto",
     use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Group-max-pruned exact top-k, blocked over queries.
@@ -211,10 +211,13 @@ def _group_exact_topk(
        contains an item scoring >= s_k, of which there are exactly k) —
        so the true top-k items all live in these groups;
     3. select the k groups' score rows and take the final top-k. Selection
-       is a one-hot matmul in HIGHEST precision (multiply-by-1.0 is exact
-       in the bf16x-pass decomposition), which streams the score slab at
-       HBM bandwidth instead of paying the descriptor-rate wall of a
-       row-gather.
+       is a per-query row-gather (``take_along_axis``) for small k — its
+       cost grows with k at the gather descriptor rate — and a one-hot
+       matmul in HIGHEST precision (multiply-by-1.0 is exact in the
+       bf16x-pass decomposition) beyond, whose MXU cost is flat in k up to
+       128 selected groups (M-tile padding). Measured crossover on v5e at
+       B=1024, N=100k: gather 2.49 ms vs einsum 2.79 ms at k=20; einsum
+       5.36 ms vs gather 6.05 ms at k=100 — ``auto`` switches at k=24.
 
     Replaces the per-chunk ``lax.top_k`` over [B, chunk] (the bottleneck
     of the item-chunked algorithm: TPU top-k over wide rows is sort-based)
@@ -258,7 +261,10 @@ def _group_exact_topk(
         else:
             gmax = jnp.max(sg, axis=-1)  # [qb, NG]
         _, gi = _row_topk(gmax, k_groups, use_pallas)  # [qb, kg]
-        if _select == "pallas" and k_eff <= 32 and g == 128:
+        select = _select
+        if select == "auto":
+            select = "gather" if k_eff <= 24 else "einsum"
+        if select == "pallas" and k_eff <= 32 and g == 128:
             # Fused selection + final top-k kernel (ops/pallas/topk.py):
             # bit-identical to the einsum path, kept for study. Measured
             # ~2.4 ms vs the einsum's ~2.3 ms at B=1024, N=100k, k=20 on
@@ -269,7 +275,7 @@ def _group_exact_topk(
             return select_topk_from_groups(
                 s, gi, k=k_eff, num_items=num_items, group=g
             )
-        if _select == "einsum" or _select == "pallas":
+        if select == "einsum" or select == "pallas":
             sel = jax.nn.one_hot(gi, ng, dtype=s.dtype)  # [qb, kg, NG]
             cand = jnp.einsum(
                 "bkg,bgj->bkj", sel, sg,
