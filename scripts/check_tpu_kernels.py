@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""On-hardware kernel validation: Mosaic-compiled Pallas kernels vs XLA.
+
+The pytest suite is hermetic (CPU + interpret-mode Pallas, see
+tests/conftest.py); this script runs the same exactness checks through the
+REAL Mosaic compiler on an attached TPU:
+
+  - small_k_topk vs lax.top_k (values and indices, bit-identical)
+  - select_topk_from_groups vs the XLA einsum selection path
+  - mips_topk use_pallas=True vs use_pallas=False (full search pipeline,
+    with and without mask_rows, odd corpus tails, several k)
+  - category-stats kernel vs the XLA segment reduction (tolerance: the
+    kernel accumulates at XLA's default bf16 TPU dot precision)
+
+Exits non-zero on any mismatch. Usage: python scripts/check_tpu_kernels.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend is {jax.default_backend()!r}, need a TPU")
+        return 0
+
+    from ttamm_tpu.ops.pallas.topk import select_topk_from_groups, small_k_topk
+    from ttamm_tpu.ops.topk import mips_topk
+
+    rng = np.random.default_rng(0)
+    failures = 0
+
+    def check(name, ok):
+        nonlocal failures
+        print(f"{'ok  ' if ok else 'FAIL'} {name}")
+        failures += 0 if ok else 1
+
+    # --- small_k_topk vs lax.top_k ---
+    for (b, w, k) in [(64, 782, 20), (33, 257, 7), (8, 2560, 128)]:
+        x = jnp.asarray(rng.standard_normal((b, w)).astype(np.float32))
+        x = jnp.round(x * 4) / 4  # force ties
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = small_k_topk(x, k)
+        check(
+            f"small_k_topk [{b},{w}] k={k}",
+            np.array_equal(np.asarray(v1), np.asarray(v2))
+            and np.array_equal(np.asarray(i1), np.asarray(i2)),
+        )
+
+    # --- full MIPS pipeline, pallas vs pure-XLA ---
+    items = jnp.asarray(rng.normal(0, 1, (9_973, 128)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(0, 1, (515, 128)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 10_100, (515, 17)).astype(np.int32))
+    for k in (5, 20, 100):
+        for m in (None, mask):
+            sk, ik = mips_topk(queries, items, k=k, mask_rows=m, use_pallas=True)
+            sx, ix = mips_topk(queries, items, k=k, mask_rows=m, use_pallas=False)
+            check(
+                f"mips_topk k={k} mask={'yes' if m is not None else 'no'}",
+                np.array_equal(np.asarray(sk), np.asarray(sx))
+                and np.array_equal(np.asarray(ik), np.asarray(ix)),
+            )
+
+    # --- fused selection kernel vs einsum selection ---
+    from ttamm_tpu.ops.topk import _group_exact_topk
+
+    se, ie = _group_exact_topk(queries, items, 20, None, 9_973, _select="einsum")
+    sp, ip = _group_exact_topk(queries, items, 20, None, 9_973, _select="pallas")
+    check(
+        "select_topk_from_groups == einsum",
+        np.array_equal(np.asarray(se), np.asarray(sp))
+        and np.array_equal(np.asarray(ie), np.asarray(ip)),
+    )
+    del select_topk_from_groups  # exercised via the gate above
+
+    # --- category stats kernel (M2[c] = sum_{n in c} x_n x_n^T) ---
+    from ttamm_tpu.ops.pallas.category_stats import segment_second_moments
+
+    cats = rng.integers(0, 16, 4096).astype(np.int32)
+    embs = rng.normal(0, 1, (4096, 128)).astype(np.float32)
+    sel = (cats[None, :] == np.arange(16)[:, None]).astype(np.float32)
+    m2_p = np.asarray(segment_second_moments(jnp.asarray(sel), jnp.asarray(embs)))
+    m2_ref = np.einsum("cn,nd,ne->cde", sel, embs, embs)
+    scale = float(np.max(np.abs(m2_ref))) + 1e-9
+    check(
+        "category_stats kernel (rtol 1e-2 vs fp64 reference)",
+        float(np.max(np.abs(m2_p - m2_ref))) / scale < 1e-2,
+    )
+
+    print(f"{failures} failure(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
