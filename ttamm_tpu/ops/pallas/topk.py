@@ -59,10 +59,11 @@ def _select_topk_kernel(
 ):
     rows, ng = sg_ref.shape[0], sg_ref.shape[1]
     # Gather each row's selected group score-rows via one batched one-hot
-    # matmul on the MXU, transposed so every build step is a lane-aligned
-    # broadcast (no scalar reads, no relayouts): selT[r, n, j] = 1 iff
-    # group n is row r's j-th selected group; contracting sg [R, NG, G]
-    # with selT [R, NG, KG] over NG yields cand [R, G, KG].
+    # matmul on the MXU, with the one-hot built transposed so every build
+    # step is a lane-aligned broadcast (no scalar reads, no relayouts):
+    # sel[r, j, n] = 1 iff group n is row r's j-th selected group;
+    # contracting sel [R, KG, NG] with sg [R, NG, G] over NG yields
+    # cand [R, KG, G].
     #
     # Exactness: the one-hot side is 0/1 (exact in bf16) and the f32 scores
     # are split into three bf16 components (8+8+8 = 24 mantissa bits); each
@@ -71,9 +72,11 @@ def _select_topk_kernel(
     # reconstruction of the selected f32 scores. The split happens at half
     # scale: masked-score sentinels are finfo(f32).min, which overflows
     # bf16 to -inf; 0.5x is an exact exponent shift into bf16 range, and
-    # the final doubling is exact too. (Domain note: normals at the very
-    # bottom of the f32 exponent range, |x| < 2^-125, lose their low bit
-    # to flush-to-zero under this scaling — MIPS scores never live there.)
+    # the final doubling is exact too. (Domain note: the r1/lo residuals
+    # of the split sit up to ~24 binades below the value, so scores with
+    # |x| below ~2^-100 lose low bits to bf16 subnormal flush — verified
+    # empirically: exact at 2^-100, inexact at 2^-105. MIPS scores are
+    # O(1)-magnitude dot products and never live there.)
     #
     # (Alternatives measured at B=1024, N=100k, k=20 on v5e: per-(row,
     # group) dynamic VMEM slices ~215 ns each -> ~2.4 ms; per-row small
@@ -110,8 +113,8 @@ def _select_topk_kernel(
 
     # k rounds of max-extract. Ties break by lowest PRIORITY = group rank
     # then lane (j*G + g) — the candidate-row position the XLA path's
-    # lax.top_k sees — which is layout-independent of the [R, G, KG]
-    # transpose the matmul produced.
+    # lax.top_k sees — expressed through an explicit priority matrix so it
+    # is independent of the [R, KG, G] value layout.
     keys = _f32_keys(cand)
     prio = jiota3 * group + lane3
     big = jnp.int32(k_groups * group)

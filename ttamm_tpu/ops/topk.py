@@ -22,6 +22,13 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+# Widest row the small-k kernel may take: its live VMEM is ~5x the
+# [8, W] f32 input block (key image + temps, double-buffered), so cap W
+# where that footprint stays well inside physical VMEM. Wider rows fall
+# back to lax.top_k instead of failing Mosaic compilation.
+_SMALL_K_MAX_WIDTH = 512 * 1024
+
+
 def _row_topk(
     x: jax.Array, k: int, use_pallas: bool
 ) -> tuple[jax.Array, jax.Array]:
@@ -29,7 +36,12 @@ def _row_topk(
     (``ops/pallas/topk.py``) — bit-identical results, measured 6-9x faster
     at the search shapes (lax lowers index-producing top-k over wide rows
     to a key-value sort)."""
-    if use_pallas and x.dtype == jnp.float32 and 0 < k <= min(128, x.shape[-1]):
+    if (
+        use_pallas
+        and x.dtype == jnp.float32
+        and 0 < k <= min(128, x.shape[-1])
+        and x.shape[-1] <= _SMALL_K_MAX_WIDTH
+    ):
         from .pallas.topk import small_k_topk
 
         return small_k_topk(x, k)
@@ -101,6 +113,11 @@ def mips_topk(
         lowers index-producing top-k over wide rows to a key-value sort.
         Don't "simplify" to it; values-only microbenchmarks lie because
         the index sort gets dead-code-eliminated.)
+    use_pallas: route the two narrow top-k stages through the Mosaic
+        small-k extraction kernel (``ops/pallas/topk.py``); bit-identical
+        to ``lax.top_k``. Default ``None`` enables it exactly when the
+        backend is TPU — passing ``True`` on a CPU/GPU backend raises
+        inside Pallas (the kernel only compiles for TPU).
 
     Returns
     -------
