@@ -173,28 +173,38 @@ def main() -> None:
         rng.normal(0, 1, (query_batches, qbatch, dim)).astype(np.float32)
     )
 
-    @jax.jit
-    def run_queries(queries_all, item_emb):
-        """Device-side query loop; iterations chained to prevent overlap."""
+    def make_run_queries(score_dtype):
+        @jax.jit
+        def run_queries(queries_all, item_emb):
+            """Device-side query loop; iterations chained to prevent overlap."""
 
-        def body(carry, q):
-            q = q + 0.0 * carry  # serialize on previous result
-            s, idx = mips_topk(q, item_emb, k=20, normalize_queries=True)
-            return s[:, :1], idx
+            def body(carry, q):
+                q = q + 0.0 * carry  # serialize on previous result
+                s, idx = mips_topk(
+                    q, item_emb, k=20, normalize_queries=True,
+                    score_dtype=score_dtype,
+                )
+                return s[:, :1], idx
 
-        return jax.lax.scan(
-            body, jnp.zeros((qbatch, 1), jnp.float32), queries_all
-        )
+            return jax.lax.scan(
+                body, jnp.zeros((qbatch, 1), jnp.float32), queries_all
+            )
 
-    _, idx = run_queries(queries_all, item_emb)
-    _sync(idx[:, :1, :1])
-    query_seconds = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+        return run_queries
+
+    def time_queries(run_queries):
         _, idx = run_queries(queries_all, item_emb)
         _sync(idx[:, :1, :1])
-        query_seconds = min(query_seconds, time.perf_counter() - t0)
-    queries_per_s = query_batches * qbatch / query_seconds
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, idx = run_queries(queries_all, item_emb)
+            _sync(idx[:, :1, :1])
+            best = min(best, time.perf_counter() - t0)
+        return query_batches * qbatch / best
+
+    queries_per_s = time_queries(make_run_queries("float32"))
+    queries_per_s_bf16 = time_queries(make_run_queries("bfloat16"))
 
     result = {
         "metric": "training examples/s/chip",
@@ -203,6 +213,7 @@ def main() -> None:
         "vs_baseline": round(examples_per_s / REFERENCE_EXAMPLES_PER_S, 2),
         "extra": {
             "topk_queries_per_s": round(queries_per_s, 1),
+            "topk_bf16_queries_per_s": round(queries_per_s_bf16, 1),
             "num_users": num_users,
             "num_items": num_items,
             "batch": batch,

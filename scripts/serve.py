@@ -27,6 +27,11 @@ def main() -> None:
         "--backend", choices=["auto", "device", "native", "numpy"], default="auto"
     )
     parser.add_argument(
+        "--score-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="device-backend scoring precision; bfloat16 is the ~2x "
+        "approximate fast path (ranking exact w.r.t. bf16 scores)",
+    )
+    parser.add_argument(
         "--http", type=int, default=None, metavar="PORT",
         help="run as an HTTP service on this port instead of batch mode",
     )
@@ -36,6 +41,7 @@ def main() -> None:
     from ttamm_tpu.serve.service import RetrievalService
 
     service = RetrievalService.from_artifacts(args.artifacts)
+    service.index.score_dtype = args.score_dtype
     if args.http is not None:
         from ttamm_tpu.serve.http_server import serve_forever
 

@@ -256,3 +256,50 @@ def test_mips_topk_group_exact_all_negative_tail():
         np.asarray(sg), np.take_along_axis(full, expected_idx, axis=1), atol=1e-5
     )
     assert (np.asarray(sg) < 0).all()
+
+
+def test_mips_topk_bfloat16_mode():
+    # Opt-in bf16 scoring: ranking must be exact w.r.t. the bf16 score
+    # slab (selection gathers are exact); bf16 rounding creates ties, so
+    # compare score multisets plus per-index score consistency.
+    rng = np.random.default_rng(21)
+    items = rng.normal(0, 1, (300, 16)).astype(np.float32)
+    queries = rng.normal(0, 1, (9, 16)).astype(np.float32)
+    sb, ib = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=7,
+        score_dtype="bfloat16",
+    )
+    assert sb.dtype == jnp.float32
+    slab = np.asarray(
+        jnp.dot(
+            jnp.asarray(queries).astype(jnp.bfloat16),
+            jnp.asarray(items).astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    sb, ib = np.asarray(sb), np.asarray(ib)
+    expected_scores = -np.sort(-slab, axis=1)[:, :7]
+    assert np.array_equal(sb, expected_scores)  # exact: bf16 values widened
+    # every returned index really has the returned score
+    assert np.array_equal(np.take_along_axis(slab, ib, axis=1), sb)
+    # each row's indices are unique
+    assert all(len(set(row.tolist())) == 7 for row in ib)
+
+
+def test_mips_topk_bfloat16_mask_and_tail():
+    # mask_rows exclusion + row-padded tail handling under the bf16 slab
+    # (NEG_INF rounds to -inf in bf16; pad columns masked post-selection).
+    rng = np.random.default_rng(22)
+    items = rng.normal(0, 1, (200, 8)).astype(np.float32)  # 56 pad rows
+    queries = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    mask = np.full((4, 3), 200, np.int32)
+    mask[0] = [0, 1, 2]
+    sb, ib = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=150,
+        mask_rows=jnp.asarray(mask), score_dtype="bfloat16",
+        algorithm="group_exact",
+    )
+    ib = np.asarray(ib)
+    assert (ib < 200).all()
+    assert not np.isin(ib[0], [0, 1, 2]).any()
+    assert np.isfinite(np.asarray(sb)).all()

@@ -73,7 +73,8 @@ _GROUP = 128  # items per group (one lane tile; group_exact only)
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "chunk_size", "normalize_queries", "algorithm", "use_pallas"
+        "k", "chunk_size", "normalize_queries", "algorithm", "use_pallas",
+        "score_dtype",
     ),
 )
 def mips_topk(
@@ -86,6 +87,7 @@ def mips_topk(
     normalize_queries: bool = False,
     algorithm: str = "auto",
     use_pallas: bool | None = None,
+    score_dtype: str = "float32",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search.
 
@@ -118,10 +120,20 @@ def mips_topk(
         to ``lax.top_k``. Default ``None`` enables it exactly when the
         backend is TPU — passing ``True`` on a CPU/GPU backend raises
         inside Pallas (the kernel only compiles for TPU).
+    score_dtype: 'float32' (default; exact, FAISS ``IndexFlatIP`` parity)
+        or 'bfloat16' — an opt-in approximate fast path: queries and items
+        are cast to bf16 and the score slab is kept in bf16, halving slab
+        bandwidth and running the MXU stages at bf16 rate (one pass
+        instead of the fp32 bf16x3 decomposition). Ranking is exact *with
+        respect to the bf16 scores* (selection gathers are still exact);
+        vs the fp32 ranking, measured top-20 overlap is ~0.986 on random
+        100k-item corpora (only near-boundary ties flip). Use for serving
+        throughput; keep fp32 for eval-metric parity.
 
     Returns
     -------
-    (scores [B, k], indices [B, k]) sorted descending per row.
+    (scores [B, k], indices [B, k]) sorted descending per row; scores are
+    float32 in both modes (bf16 scores are widened on return).
     """
     num_items, dim = item_embeddings.shape
     batch = queries.shape[0]
@@ -133,6 +145,12 @@ def mips_topk(
         queries = queries / jnp.maximum(
             jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
         )
+    if score_dtype not in {"float32", "bfloat16"}:
+        raise ValueError(f"Unknown mips_topk score_dtype: {score_dtype}")
+    if score_dtype == "bfloat16":
+        # Cast AFTER normalization so the cosine norms stay fp32-accurate.
+        queries = queries.astype(jnp.bfloat16)
+        item_embeddings = item_embeddings.astype(jnp.bfloat16)
 
     k_eff = min(k, num_items)
     if algorithm not in {"auto", "group_exact", "chunked"}:
@@ -195,7 +213,9 @@ def _mask_scatter(scores: jax.Array, mask_rows: jax.Array) -> jax.Array:
         jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None], mask_rows.shape
     )
     return scores.at[row_ids, mask_rows.astype(jnp.int32)].set(
-        NEG_INF, mode="drop", unique_indices=False
+        jnp.asarray(NEG_INF, scores.dtype),  # rounds to -inf in bf16: fine
+        mode="drop",
+        unique_indices=False,
     )
 
 
@@ -251,9 +271,17 @@ def _group_exact_topk(
     items_t = item_embeddings.T  # loop-invariant; hoisted out of any scan
     k_groups = min(k_eff, ng)
 
+    # bf16 mode: keep the slab itself in bf16 — halves slab write/read
+    # bandwidth AND makes the one-hot selection einsum a single MXU pass
+    # (the fp32 slab needs the exact bf16x3 decomposition). The MXU still
+    # accumulates each dot product in fp32 before rounding the slab entry.
+    slab_dtype = queries.dtype if queries.dtype == jnp.bfloat16 else jnp.float32
+    neg = jnp.asarray(NEG_INF, slab_dtype)  # rounds to -inf in bf16: fine
+    #     for max-reduces and top-k (the small-k kernel handles -inf).
+
     def block(q, m):
         qb = q.shape[0]
-        s = jnp.dot(q, items_t, preferred_element_type=jnp.float32)
+        s = jnp.dot(q, items_t, preferred_element_type=slab_dtype)
         if m is not None:
             # Scatter -inf at the blocked columns (qb*M elements) instead
             # of a [qb, N, M] broadcast compare (4e9 elements at qb=1024,
@@ -274,14 +302,27 @@ def _group_exact_topk(
                 + jax.lax.broadcasted_iota(jnp.int32, (ng, g), 1)
             )
             valid_cols = (col < num_items)[None]
-            gmax = jnp.max(jnp.where(valid_cols, sg, NEG_INF), axis=-1)
+            gmax = jnp.max(jnp.where(valid_cols, sg, neg), axis=-1)
         else:
             gmax = jnp.max(sg, axis=-1)  # [qb, NG]
-        _, gi = _row_topk(gmax, k_groups, use_pallas)  # [qb, kg]
+        _, gi = _row_topk(
+            gmax.astype(jnp.float32), k_groups, use_pallas
+        )  # [qb, kg]
         select = _select
         if select == "auto":
-            select = "gather" if k_eff <= 24 else "einsum"
-        if select == "pallas" and k_eff <= 32 and g == 128:
+            # bf16 slab: the one-pass einsum beats the descriptor-bound
+            # row-gather at every k; fp32: gather wins for small k
+            # (measured crossover at k=24, see step 3 above).
+            if slab_dtype == jnp.bfloat16:
+                select = "einsum"
+            else:
+                select = "gather" if k_eff <= 24 else "einsum"
+        if (
+            select == "pallas"
+            and k_eff <= 32
+            and g == 128
+            and slab_dtype == jnp.float32  # kernel splits f32 into bf16x3
+        ):
             # Fused selection + final top-k kernel (ops/pallas/topk.py):
             # bit-identical to the einsum path, kept for study. Measured
             # ~2.4 ms vs the einsum's ~2.3 ms at B=1024, N=100k, k=20 on
@@ -294,13 +335,23 @@ def _group_exact_topk(
             )
         if select == "einsum" or select == "pallas":
             sel = jax.nn.one_hot(gi, ng, dtype=s.dtype)  # [qb, kg, NG]
+            # Selection is exact in both modes: each output element has
+            # exactly one nonzero term (x1.0). fp32 slab needs HIGHEST
+            # precision (bf16x3) to move the values bit-exactly; a bf16
+            # slab moves exactly in one default-precision pass.
             cand = jnp.einsum(
                 "bkg,bgj->bkj", sel, sg,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if slab_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
             )
         else:
-            cand = jnp.take_along_axis(sg, gi[:, :, None], axis=1)
+            cand = jnp.take_along_axis(sg, gi[:, :, None], axis=1).astype(
+                jnp.float32
+            )
         if padded_n != num_items:
             # Pad items (global id >= num_items, score 0.0) may sit inside
             # a selected tail group; mask them at the [qb, kg, G] level.

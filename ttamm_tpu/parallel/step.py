@@ -64,7 +64,9 @@ def make_sharded_train_step(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "mesh", "normalize_queries", "chunk_size"),
+    static_argnames=(
+        "k", "mesh", "normalize_queries", "chunk_size", "score_dtype"
+    ),
 )
 def _sharded_topk_impl(
     queries: jax.Array,
@@ -74,6 +76,7 @@ def _sharded_topk_impl(
     mesh: Mesh,
     normalize_queries: bool,
     chunk_size: int,
+    score_dtype: str = "float32",
 ):
     from jax import shard_map
 
@@ -89,6 +92,7 @@ def _sharded_topk_impl(
             k=min(k, rows_per_shard),
             chunk_size=chunk_size,
             normalize_queries=normalize_queries,
+            score_dtype=score_dtype,
         )
         idx = idx + shard_id * rows_per_shard
         # all-gather local top-k across the model axis, merge to global k.
@@ -115,6 +119,7 @@ def sharded_mips_topk(
     mesh: Mesh,
     normalize_queries: bool = False,
     chunk_size: int = 8192,
+    score_dtype: str = "float32",
 ):
     """Distributed exact top-k: shard-local top-k + all-gather merge.
 
@@ -147,4 +152,5 @@ def sharded_mips_topk(
         mesh=mesh,
         normalize_queries=normalize_queries,
         chunk_size=chunk_size,
+        score_dtype=score_dtype,
     )

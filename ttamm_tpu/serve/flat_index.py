@@ -36,6 +36,11 @@ class FlatIndex:
 
     embeddings: np.ndarray  # float32 [count, dim]
     normalized: bool = False
+    # Device-backend scoring precision: 'float32' (exact, FAISS-parity) or
+    # 'bfloat16' (opt-in fast path: ~2x device throughput, ranking exact
+    # w.r.t. bf16-rounded scores; see ops/topk.py mips_topk). Host backends
+    # (native/numpy) always score in float32.
+    score_dtype: str = "float32"
 
     @property
     def dim(self) -> int:
@@ -119,7 +124,9 @@ class FlatIndex:
         if emb is None or emb.shape[0] != len(self):
             emb = jax.device_put(self.embeddings)
             self._device_emb = emb
-        scores, idx = mips_topk(jnp.asarray(queries), emb, k=k)
+        scores, idx = mips_topk(
+            jnp.asarray(queries), emb, k=k, score_dtype=self.score_dtype
+        )
         return (
             np.asarray(jax.device_get(scores)),
             np.asarray(jax.device_get(idx)).astype(np.int64),
