@@ -133,3 +133,28 @@ def test_sharded_mips_topk_matches_exact():
     full = queries @ items.T
     expected = np.argsort(-full, axis=1)[:, :9]
     assert np.array_equal(np.asarray(idx), expected)
+
+
+def test_sharded_mips_topk_bfloat16_mode():
+    # score_dtype threads through shard_map: each shard ranks by its local
+    # bf16 slab; the cross-shard merge sees fp32-widened bf16 scores.
+    rng = np.random.default_rng(6)
+    items = rng.normal(0, 1, (96, 16)).astype(np.float32)
+    queries = rng.normal(0, 1, (5, 16)).astype(np.float32)
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    scores, idx = sharded_mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=7, mesh=mesh,
+        chunk_size=16, score_dtype="bfloat16",
+    )
+    slab = np.asarray(
+        jnp.dot(
+            jnp.asarray(queries).astype(jnp.bfloat16),
+            jnp.asarray(items).astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    # returned scores must be the top-7 bf16 score multiset per row, and
+    # each index must carry its own bf16 score (tie-robust assertions)
+    assert np.array_equal(scores, -np.sort(-slab, axis=1)[:, :7])
+    assert np.array_equal(np.take_along_axis(slab, idx, axis=1), scores)
