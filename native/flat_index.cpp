@@ -3,8 +3,17 @@
 // The reference consumed this capability through FAISS's C++ IndexFlatIP
 // (reference src/pipelines/training.py:646-697). This is the framework's
 // own native searcher, used by the host-side serving path
-// (ttamm_tpu/serve/) when no TPU is attached: multithreaded over queries,
-// blocked over items for cache locality, bounded min-heap per query.
+// (ttamm_tpu/serve/) when no TPU is attached.
+//
+// Layout: queries are processed in tiles of kQueryTile; each item block is
+// read ONCE per tile instead of once per query, so the corpus sweep — the
+// memory-bandwidth bottleneck of a flat exact search — is amortized over
+// the tile (a [B, D] x [D, N] GEMM blocking, not a per-query scan). The
+// micro-kernel keeps the tile's scores in per-query accumulators and
+// vectorizes ACROSS the query tile (row element broadcast x query column),
+// which avoids per-dot horizontal reductions entirely. Threads pull whole
+// query tiles from an atomic counter; per-query bounded min-heaps produce
+// the top-k.
 //
 // Build: `make -C native` -> libttamm_native.so (loaded via ctypes from
 // ttamm_tpu/serve/native_bridge.py; pybind11 is intentionally not used —
@@ -19,6 +28,15 @@
 
 namespace {
 
+// Queries per tile — the corpus-traffic amortization factor. 32 f32 =
+// four 8-lane AVX2 accumulator registers per set; with two independent
+// sets (depth unroll) the working accumulators fit the register file.
+// Measured on the 2-CPU dev host at N=100k, D=128: tile 32 + unroll 2
+// beats tile 16 + unroll 4 by ~25-30% (2.0-2.4k vs 1.6-1.8k q/s).
+constexpr int32_t kQueryTile = 32;
+// Items per pass: bounds the [kBlock, kQueryTile] score buffer (64 KB).
+constexpr int64_t kBlock = 1024;
+
 struct HeapEntry {
   float score;
   int64_t index;
@@ -29,56 +47,120 @@ inline bool heap_less(const HeapEntry& a, const HeapEntry& b) {
   return a.score > b.score;
 }
 
-void search_queries(const float* items, int64_t n, int32_t d,
-                    const float* queries, int32_t k, float* out_scores,
-                    int64_t* out_indices, std::atomic<int64_t>* next_query,
-                    int64_t num_queries) {
-  constexpr int64_t kBlock = 4096;  // items per pass; ~2 MB of rows at d=128
-  std::vector<HeapEntry> heap;
-  heap.reserve(static_cast<size_t>(k) + 1);
-  std::vector<float> block_scores(kBlock);
+void search_query_tiles(const float* items, int64_t n, int32_t d,
+                        const float* queries, int32_t k, float* out_scores,
+                        int64_t* out_indices,
+                        std::atomic<int64_t>* next_tile,
+                        int64_t num_queries) {
+  const int64_t num_tiles = (num_queries + kQueryTile - 1) / kQueryTile;
+  // Query tile transposed to [d][kQueryTile] so the micro-kernel's inner
+  // loop is contiguous over the tile; unused lanes are zero-padded.
+  std::vector<float> qT(static_cast<size_t>(d) * kQueryTile);
+  std::vector<float> scores_tile(static_cast<size_t>(kBlock) * kQueryTile);
+  std::vector<HeapEntry> heaps(static_cast<size_t>(kQueryTile) *
+                               (static_cast<size_t>(k) + 1));
+  std::vector<int32_t> heap_sizes(kQueryTile);
 
   for (;;) {
-    const int64_t q = next_query->fetch_add(1);
-    if (q >= num_queries) break;
-    const float* query = queries + q * d;
+    const int64_t tile = next_tile->fetch_add(1);
+    if (tile >= num_tiles) break;
+    const int64_t q0 = tile * kQueryTile;
+    const int32_t qcount = static_cast<int32_t>(
+        std::min<int64_t>(kQueryTile, num_queries - q0));
 
-    heap.clear();
+    std::fill(qT.begin(), qT.end(), 0.f);
+    for (int32_t t = 0; t < qcount; ++t) {
+      const float* query = queries + (q0 + t) * d;
+      for (int32_t j = 0; j < d; ++j) qT[j * kQueryTile + t] = query[j];
+    }
+    std::fill(heap_sizes.begin(), heap_sizes.end(), 0);
+
     for (int64_t start = 0; start < n; start += kBlock) {
       const int64_t end = std::min(start + kBlock, n);
       const int64_t count = end - start;
-      // Dot products for this block (compiler autovectorizes the inner
-      // loop; d is typically a multiple of 8).
-      for (int64_t i = 0; i < count; ++i) {
-        const float* row = items + (start + i) * d;
-        float acc = 0.f;
-        for (int32_t j = 0; j < d; ++j) acc += query[j] * row[j];
-        block_scores[i] = acc;
+
+      // Micro-kernel: each item row is read once and scored against the
+      // whole tile. acc[] vectorizes across the tile (no horizontal
+      // reduction); the row element is a broadcast. Two independent
+      // accumulator sets over a depth-4 unroll break the FMA latency
+      // chain without spilling the register file at this tile width.
+      if (qcount > 4) {
+        const int32_t d4 = d & ~3;
+        for (int64_t i = 0; i < count; ++i) {
+          const float* row = items + (start + i) * d;
+          float acc0[kQueryTile] = {0.f};
+          float acc1[kQueryTile] = {0.f};
+          for (int32_t j = 0; j < d4; j += 4) {
+            const float r0 = row[j], r1 = row[j + 1];
+            const float r2 = row[j + 2], r3 = row[j + 3];
+            const float* qc =
+                qT.data() + static_cast<size_t>(j) * kQueryTile;
+            for (int32_t t = 0; t < kQueryTile; ++t) {
+              acc0[t] += r0 * qc[t] + r1 * qc[kQueryTile + t];
+              acc1[t] += r2 * qc[2 * kQueryTile + t] +
+                         r3 * qc[3 * kQueryTile + t];
+            }
+          }
+          for (int32_t j = d4; j < d; ++j) {
+            const float r = row[j];
+            const float* qc =
+                qT.data() + static_cast<size_t>(j) * kQueryTile;
+            for (int32_t t = 0; t < kQueryTile; ++t) acc0[t] += r * qc[t];
+          }
+          float* out =
+              scores_tile.data() + static_cast<size_t>(i) * kQueryTile;
+          for (int32_t t = 0; t < kQueryTile; ++t)
+            out[t] = acc0[t] + acc1[t];
+        }
+      } else {
+        // Narrow tile (tail or tiny batch): per-query dot products avoid
+        // the wide kernel's wasted zero lanes.
+        for (int64_t i = 0; i < count; ++i) {
+          const float* row = items + (start + i) * d;
+          float* out =
+              scores_tile.data() + static_cast<size_t>(i) * kQueryTile;
+          for (int32_t t = 0; t < qcount; ++t) {
+            const float* query = queries + (q0 + t) * d;
+            float acc = 0.f;
+            for (int32_t j = 0; j < d; ++j) acc += query[j] * row[j];
+            out[t] = acc;
+          }
+        }
       }
-      for (int64_t i = 0; i < count; ++i) {
-        const float score = block_scores[i];
-        if (heap.size() < static_cast<size_t>(k)) {
-          heap.push_back({score, start + i});
-          std::push_heap(heap.begin(), heap.end(), heap_less);
-        } else if (score > heap.front().score) {
-          std::pop_heap(heap.begin(), heap.end(), heap_less);
-          heap.back() = {score, start + i};
-          std::push_heap(heap.begin(), heap.end(), heap_less);
+
+      for (int32_t t = 0; t < qcount; ++t) {
+        HeapEntry* heap = heaps.data() + static_cast<size_t>(t) * (k + 1);
+        int32_t& size = heap_sizes[t];
+        for (int64_t i = 0; i < count; ++i) {
+          const float score =
+              scores_tile[static_cast<size_t>(i) * kQueryTile + t];
+          if (size < k) {
+            heap[size++] = {score, start + i};
+            std::push_heap(heap, heap + size, heap_less);
+          } else if (score > heap[0].score) {
+            std::pop_heap(heap, heap + size, heap_less);
+            heap[size - 1] = {score, start + i};
+            std::push_heap(heap, heap + size, heap_less);
+          }
         }
       }
     }
 
     // Emit in descending score order (sort_heap with a ">"-comparator
     // yields descending scores directly).
-    std::sort_heap(heap.begin(), heap.end(), heap_less);
-    const int32_t found = static_cast<int32_t>(heap.size());
-    for (int32_t i = 0; i < found; ++i) {
-      out_scores[q * k + i] = heap[i].score;
-      out_indices[q * k + i] = heap[i].index;
-    }
-    for (int32_t i = found; i < k; ++i) {
-      out_scores[q * k + i] = -3.4e38f;
-      out_indices[q * k + i] = -1;
+    for (int32_t t = 0; t < qcount; ++t) {
+      HeapEntry* heap = heaps.data() + static_cast<size_t>(t) * (k + 1);
+      const int32_t found = heap_sizes[t];
+      std::sort_heap(heap, heap + found, heap_less);
+      const int64_t q = q0 + t;
+      for (int32_t i = 0; i < found; ++i) {
+        out_scores[q * k + i] = heap[i].score;
+        out_indices[q * k + i] = heap[i].index;
+      }
+      for (int32_t i = found; i < k; ++i) {
+        out_scores[q * k + i] = -3.4e38f;
+        out_indices[q * k + i] = -1;
+      }
     }
   }
 }
@@ -106,20 +188,20 @@ int ttamm_flat_topk(const float* items, int64_t n, int32_t d,
                         ? num_threads
                         : static_cast<int32_t>(std::thread::hardware_concurrency());
   if (threads <= 0) threads = 1;
-  threads = static_cast<int32_t>(
-      std::min<int64_t>(threads, b));
+  const int64_t num_tiles = (b + kQueryTile - 1) / kQueryTile;
+  threads = static_cast<int32_t>(std::min<int64_t>(threads, num_tiles));
 
-  std::atomic<int64_t> next_query{0};
+  std::atomic<int64_t> next_tile{0};
   if (threads == 1) {
-    search_queries(items, n, d, queries, k, out_scores, out_indices,
-                   &next_query, b);
+    search_query_tiles(items, n, d, queries, k, out_scores, out_indices,
+                       &next_tile, b);
     return 0;
   }
   std::vector<std::thread> pool;
   pool.reserve(threads);
   for (int32_t t = 0; t < threads; ++t) {
-    pool.emplace_back(search_queries, items, n, d, queries, k, out_scores,
-                      out_indices, &next_query, b);
+    pool.emplace_back(search_query_tiles, items, n, d, queries, k,
+                      out_scores, out_indices, &next_tile, b);
   }
   for (auto& th : pool) th.join();
   return 0;
