@@ -32,7 +32,7 @@ def main() -> None:
     )
     parser.add_argument(
         "--score-dtype", choices=["float32", "bfloat16"], default="float32",
-        help="device-backend scoring precision; bfloat16 is the ~2x "
+        help="device-backend scoring precision; bfloat16 is the ~1.5x "
         "approximate fast path (ranking exact w.r.t. bf16 scores)",
     )
     args = parser.parse_args()

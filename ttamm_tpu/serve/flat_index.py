@@ -37,7 +37,8 @@ class FlatIndex:
     embeddings: np.ndarray  # float32 [count, dim]
     normalized: bool = False
     # Device-backend scoring precision: 'float32' (exact, FAISS-parity) or
-    # 'bfloat16' (opt-in fast path: ~2x device throughput, ranking exact
+    # 'bfloat16' (opt-in fast path: ~1.5x device throughput measured on
+    # v5e — 595k vs 393k q/s at B=1024, N=100k, k=20 — ranking exact
     # w.r.t. bf16-rounded scores; see ops/topk.py mips_topk). Host backends
     # (native/numpy) always score in float32.
     score_dtype: str = "float32"
