@@ -135,6 +135,29 @@ def test_sharded_mips_topk_matches_exact():
     assert np.array_equal(np.asarray(idx), expected)
 
 
+def test_sharded_mips_topk_pad_rows_never_returned():
+    """Regression: zero pad rows score 0.0, which outranks real items when
+    all scores are negative — they must be masked to -inf BEFORE the
+    shard-local top-k (VERDICT r1 weak #1)."""
+    rng = np.random.default_rng(7)
+    # All dot products strictly negative: every pad row would win unmasked.
+    items = np.abs(rng.normal(0, 1, (100, 16))).astype(np.float32)
+    queries = -np.abs(rng.normal(0, 1, (7, 16))).astype(np.float32)
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    # 100 rows over 8 shards -> padded to 104, 4 pad rows on the last
+    # shard; k == rows_per_shard stresses local crowd-out too.
+    k = 13
+    scores, idx = sharded_mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=k, mesh=mesh, chunk_size=16
+    )
+    idx, scores = np.asarray(idx), np.asarray(scores)
+    assert idx.max() < 100, "pad index leaked into the top-k"
+    full = queries @ items.T
+    expected = np.argsort(-full, axis=1)[:, :k]
+    assert np.array_equal(idx, expected)
+    assert np.allclose(scores, np.take_along_axis(full, idx, axis=1), atol=1e-5)
+
+
 def test_sharded_mips_topk_bfloat16_mode():
     # score_dtype threads through shard_map: each shard ranks by its local
     # bf16 slab; the cross-shard merge sees fp32-widened bf16 scores.

@@ -65,7 +65,8 @@ def make_sharded_train_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "mesh", "normalize_queries", "chunk_size", "score_dtype"
+        "k", "mesh", "normalize_queries", "chunk_size", "score_dtype",
+        "num_valid_rows",
     ),
 )
 def _sharded_topk_impl(
@@ -77,20 +78,43 @@ def _sharded_topk_impl(
     normalize_queries: bool,
     chunk_size: int,
     score_dtype: str = "float32",
+    num_valid_rows: int | None = None,
 ):
     from jax import shard_map
 
     num_shards = mesh.shape[MODEL_AXIS]
     rows_per_shard = item_shards.shape[0] // num_shards
+    num_valid = (
+        item_shards.shape[0] if num_valid_rows is None else num_valid_rows
+    )
+    num_pad = item_shards.shape[0] - num_valid  # pad rows sit on the LAST shard
 
     def local_topk(q, items):
         # items: local shard rows [rows_per_shard, D]; q replicated [B, D].
         shard_id = jax.lax.axis_index(MODEL_AXIS)
+        mask = None
+        if num_pad > 0:
+            # Pad rows must rank below every real item: a zero pad row
+            # scores 0.0, which BEATS real items whenever scores go
+            # negative (dot/cosine frequently do). Mask them to -inf
+            # BEFORE shard-local selection — masking after the local
+            # top-k is not enough, since pads can crowd real rows out of
+            # the last shard's candidate set. Mirrors the single-device
+            # iota masking in ``ops/topk.py`` (scan path / group tail).
+            pad_local = rows_per_shard - num_pad + jnp.arange(
+                num_pad, dtype=jnp.int32
+            )
+            mask = jnp.broadcast_to(
+                jnp.where(shard_id == num_shards - 1, pad_local,
+                          rows_per_shard)[None, :],  # id >= N drops the mask
+                (q.shape[0], num_pad),
+            )
         scores, idx = mips_topk(
             q,
             items,
             k=min(k, rows_per_shard),
             chunk_size=chunk_size,
+            mask_rows=mask,
             normalize_queries=normalize_queries,
             score_dtype=score_dtype,
         )
@@ -123,11 +147,14 @@ def sharded_mips_topk(
 ):
     """Distributed exact top-k: shard-local top-k + all-gather merge.
 
-    ``item_embeddings`` row count must be a multiple of the model-axis size
-    (pad with zero rows; they rank last for non-degenerate queries).
+    ``item_embeddings`` is zero-row-padded up to a multiple of the
+    model-axis size; pad rows are masked to -inf inside the shard-local
+    search so they can never be returned (a zero row scores 0.0, which
+    would outrank real items with negative scores).
     Returns (scores [B, k], global indices [B, k]).
     """
     num_shards = mesh.shape[MODEL_AXIS]
+    num_valid_rows = item_embeddings.shape[0]
     if item_embeddings.shape[0] % num_shards != 0:
         pad = num_shards - item_embeddings.shape[0] % num_shards
         item_embeddings = jnp.concatenate(
@@ -153,4 +180,5 @@ def sharded_mips_topk(
         normalize_queries=normalize_queries,
         chunk_size=chunk_size,
         score_dtype=score_dtype,
+        num_valid_rows=num_valid_rows,
     )
