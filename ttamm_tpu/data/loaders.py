@@ -1,21 +1,24 @@
-"""CSV dataset loading with graceful fallback to trimmed samples.
+"""Host-side CSV ingestion.
 
-Behavioral parity with the reference loaders (``src/data/loaders.py:24-118``):
+Spec-driven design: each corpus table is described by a ``TableSpec``
+(default filename, trimmed-sample fallback, column dtypes) and loaded by
+one generic routine. Behavioral parity with the reference loaders
+(``src/data/loaders.py:24-118``):
 
 - books default to ``books.csv``, interactions to ``users.csv``;
-- when the default file is missing and no explicit filename was given, fall
-  back to ``books_trimmed.csv`` / ``users_trimmed.csv``;
-- interactions get stable string/Int64 dtypes for ``parent_asin`` / ``userId``
-  / ``timestamp``;
-- ``nrows`` limits are applied at read time;
-- interactions referencing ASINs absent from the books frame are dropped.
+- when the default file is missing and no explicit filename was given,
+  fall back to the bundled 10-row ``*_trimmed.csv`` samples;
+- interactions carry stable ``string``/``Int64`` dtypes for
+  ``parent_asin`` / ``userId`` / ``timestamp``;
+- ``nrows`` limits apply at read time;
+- ``load_dataset`` drops interactions referencing ASINs absent from the
+  books frame (vectorized isin, not a Python set).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
 
 import pandas as pd
 
@@ -23,10 +26,28 @@ from ..utils.logging import get_logger
 
 logger = get_logger("data")
 
-DEFAULT_BOOKS_FILENAME = "books.csv"
-DEFAULT_INTERACTIONS_FILENAME = "users.csv"
-SAMPLE_BOOKS_FILENAME = "books_trimmed.csv"
-SAMPLE_INTERACTIONS_FILENAME = "users_trimmed.csv"
+
+@dataclass(frozen=True)
+class TableSpec:
+    """How to locate and type one corpus table on disk."""
+
+    default_filename: str
+    sample_filename: str
+    dtypes: dict[str, str] | None = None
+
+
+BOOKS_SPEC = TableSpec("books.csv", "books_trimmed.csv")
+INTERACTIONS_SPEC = TableSpec(
+    "users.csv",
+    "users_trimmed.csv",
+    dtypes={"parent_asin": "string", "userId": "string", "timestamp": "Int64"},
+)
+
+# Back-compat aliases (older call sites / tests import the constants).
+DEFAULT_BOOKS_FILENAME = BOOKS_SPEC.default_filename
+DEFAULT_INTERACTIONS_FILENAME = INTERACTIONS_SPEC.default_filename
+SAMPLE_BOOKS_FILENAME = BOOKS_SPEC.sample_filename
+SAMPLE_INTERACTIONS_FILENAME = INTERACTIONS_SPEC.sample_filename
 
 
 @dataclass(frozen=True)
@@ -37,43 +58,69 @@ class DatasetArtifacts:
     interactions: pd.DataFrame
 
 
-def _read_csv(
-    path: Path, *, dtype: Optional[dict[str, str]] = None, nrows: Optional[int] = None
+def _load_table(
+    spec: TableSpec,
+    data_dir: Path | str,
+    filename: str | None,
+    limit: int | None,
 ) -> pd.DataFrame:
-    if not path.exists():
-        raise FileNotFoundError(f"Expected CSV at {path} but file was not found.")
-    return pd.read_csv(path, dtype=dtype, nrows=nrows)
+    """Resolve ``spec`` under ``data_dir`` and read it.
+
+    An explicitly requested ``filename`` must exist; only the *default*
+    location may silently degrade to the trimmed sample (the reference's
+    graceful-fallback rule).
+    """
+    data_dir = Path(data_dir)
+    candidates = [data_dir / (filename or spec.default_filename)]
+    if filename is None:
+        candidates.append(data_dir / spec.sample_filename)
+
+    for i, path in enumerate(candidates):
+        if not path.exists():
+            continue
+        if i > 0:
+            logger.warning("Falling back to %s", path.name)
+        return pd.read_csv(path, dtype=spec.dtypes, nrows=limit)
+    raise FileNotFoundError(
+        f"Expected CSV at {candidates[0]} but file was not found."
+    )
 
 
 def load_books(
-    data_dir: Path | str, *, filename: str | None = None, limit: Optional[int] = None
+    data_dir: Path | str,
+    *,
+    filename: str | None = None,
+    limit: int | None = None,
 ) -> pd.DataFrame:
-    data_dir = Path(data_dir)
-    target = filename or DEFAULT_BOOKS_FILENAME
-    try:
-        return _read_csv(data_dir / target, nrows=limit)
-    except FileNotFoundError:
-        if filename is None and (data_dir / SAMPLE_BOOKS_FILENAME).exists():
-            logger.warning("Falling back to %s", SAMPLE_BOOKS_FILENAME)
-            return _read_csv(data_dir / SAMPLE_BOOKS_FILENAME, nrows=limit)
-        raise
+    """Books metadata frame (title/author/rating/price/categories/ASIN)."""
+    return _load_table(BOOKS_SPEC, data_dir, filename, limit)
 
 
 def load_interactions(
-    data_dir: Path | str, *, filename: str | None = None, limit: Optional[int] = None
+    data_dir: Path | str,
+    *,
+    filename: str | None = None,
+    limit: int | None = None,
 ) -> pd.DataFrame:
-    data_dir = Path(data_dir)
-    target = filename or DEFAULT_INTERACTIONS_FILENAME
-    dtype = {"parent_asin": "string", "userId": "string", "timestamp": "Int64"}
-    try:
-        return _read_csv(data_dir / target, dtype=dtype, nrows=limit)
-    except FileNotFoundError:
-        if filename is None and (data_dir / SAMPLE_INTERACTIONS_FILENAME).exists():
-            logger.warning("Falling back to %s", SAMPLE_INTERACTIONS_FILENAME)
-            return _read_csv(
-                data_dir / SAMPLE_INTERACTIONS_FILENAME, dtype=dtype, nrows=limit
-            )
-        raise
+    """User-item interaction frame with pinned dtypes."""
+    return _load_table(INTERACTIONS_SPEC, data_dir, filename, limit)
+
+
+def _restrict_to_known_items(
+    interactions: pd.DataFrame, books: pd.DataFrame
+) -> pd.DataFrame:
+    """Drop interaction rows whose ASIN is not in the books frame."""
+    known = interactions["parent_asin"].astype(str).isin(
+        books["parent_asin"].astype(str).unique()
+    )
+    if known.all():
+        return interactions
+    logger.info(
+        "Filtered %d interaction rows referencing ASINs outside the books"
+        " subset.",
+        int((~known).sum()),
+    )
+    return interactions[known].reset_index(drop=True)
 
 
 def load_dataset(
@@ -81,26 +128,14 @@ def load_dataset(
     *,
     books_file: str | None = None,
     interactions_file: str | None = None,
-    books_limit: Optional[int] = None,
-    interactions_limit: Optional[int] = None,
+    books_limit: int | None = None,
+    interactions_limit: int | None = None,
 ) -> DatasetArtifacts:
-    """Load both frames and drop interactions outside the books subset."""
+    """Load both frames; interactions are restricted to the books subset."""
     books = load_books(data_dir, filename=books_file, limit=books_limit)
     interactions = load_interactions(
         data_dir, filename=interactions_file, limit=interactions_limit
     )
-
-    if not books.empty and "parent_asin" in books and "parent_asin" in interactions:
-        valid_asins = set(books["parent_asin"].astype(str))
-        before = len(interactions)
-        interactions = interactions[
-            interactions["parent_asin"].astype(str).isin(valid_asins)
-        ].reset_index(drop=True)
-        dropped = before - len(interactions)
-        if dropped > 0:
-            logger.info(
-                "Filtered %d interaction rows referencing ASINs outside the books subset.",
-                dropped,
-            )
-
+    if not books.empty and {"parent_asin"} <= set(books) & set(interactions):
+        interactions = _restrict_to_known_items(interactions, books)
     return DatasetArtifacts(books=books, interactions=interactions)
