@@ -1,0 +1,126 @@
+"""Communication-pattern tests on the compiled sharded step (VERDICT r1 #1).
+
+Numeric equivalence tests can't see whether the partitioner lowered the
+row-sharded table ops efficiently — a correctness-equivalent compilation
+may all-gather a whole [rows, D] table or all-reduce a table-shaped
+gradient. These tests compile the REAL hybrid train step on the virtual
+8-device mesh at a table-dominant scale and assert byte-level properties
+of the collectives:
+
+1. no collective moves anything within 10x of a full table (the forward
+   exchange and grad reductions must be batch-sized);
+2. total collective bytes are INDEPENDENT of table row count — growing
+   the tables 4x while holding the batch must not change the
+   communication pattern at all (this also pins sparse-Adam moment
+   updates as shard-local: moments are table-shaped, so any moment
+   traffic would scale with rows).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttamm_tpu.data import pack_positives
+from ttamm_tpu.models import parse_model_config
+from ttamm_tpu.parallel import (
+    MeshConfig,
+    build_mesh,
+    make_sharded_train_step,
+    pad_batch_data,
+    pad_state_rows,
+    place_data,
+    place_state,
+)
+from ttamm_tpu.parallel.hlo_inspect import (
+    assert_no_table_sized_collectives,
+    collective_summary,
+)
+from ttamm_tpu.train import TrainStepConfig, create_train_state
+from ttamm_tpu.train.optim import parse_dense_opt_config
+from ttamm_tpu.train.state import BatchData
+
+B, NEG, F, D = 64, 3, 16, 64
+
+
+def _compiled_step_hlo(num_rows: int, *, sparse: bool = True) -> str:
+    """Compile the sharded hybrid step at [num_rows, D] tables; return HLO."""
+    mc = {
+        "user_encoder": {
+            "type": "tower",
+            "id_embedding": {"params": {"embedding_dim": D, "sparse": sparse}},
+            "feature_encoder": {"type": "mlp", "hidden_dims": [32], "output_dim": D},
+            "fusion": "gated",
+        },
+        "item_encoder": {
+            "type": "tower",
+            "id_embedding": {"params": {"embedding_dim": D, "sparse": sparse}},
+            "feature_encoder": {"type": "mlp", "hidden_dims": [32], "output_dim": D},
+            "fusion": "gated",
+        },
+        "similarity": "cosine",
+        "adaptive_mimic": {"enabled": True},
+    }
+    cfg = parse_model_config(mc, user_feature_dim=F, item_feature_dim=F)
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=num_rows, num_items=num_rows
+    )
+    rng = np.random.default_rng(0)
+    positives = {
+        u: {int(x) for x in rng.integers(0, num_rows, 3)} for u in range(num_rows)
+    }
+    pp = pack_positives(positives, num_users=num_rows, num_items=num_rows)
+    data = BatchData(
+        user_features=jnp.asarray(
+            rng.normal(0, 1, (num_rows, F)).astype(np.float32)
+        ),
+        item_features=jnp.asarray(
+            rng.normal(0, 1, (num_rows, F)).astype(np.float32)
+        ),
+        positive_rows=jnp.asarray(pp.rows),
+        category_ids=jnp.asarray(rng.integers(0, 4, num_rows).astype(np.int32)),
+    )
+    tscfg = TrainStepConfig(
+        num_items=num_rows,
+        negatives_per_positive=NEG,
+        lambda_mimic_user=0.15,
+        lambda_mimic_item=0.15,
+        lambda_category_alignment=0.01,
+        cal_max_categories=4,
+        opt=parse_dense_opt_config(
+            {"optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 0.01}
+        ),
+    )
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    pstate = place_state(mesh, pad_state_rows(state, 4))
+    pdata = place_data(mesh, pad_batch_data(data, 4))
+    step = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    u = jnp.asarray(rng.integers(0, num_rows, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, num_rows, B).astype(np.int32))
+    return step.lower(pstate, pdata, u, p, jax.random.key(1)).compile().as_text()
+
+
+def test_no_table_sized_collectives():
+    rows = 8192
+    hlo = _compiled_step_hlo(rows)
+    # All four tables are [rows(+pad), D]; the batch moves B*(1+NEG)*D
+    # floats at most per exchange — 128x smaller. Anything within 10% of a
+    # table means the partitioner fell back to gather/reduce-the-table.
+    assert_no_table_sized_collectives(
+        hlo,
+        {
+            "user_id": (rows, D),
+            "item_id": (rows, D),
+            "user_aug": (rows, D),
+            "item_aug": (rows, D),
+        },
+        fraction=0.1,
+    )
+
+
+def test_collective_bytes_independent_of_table_rows():
+    """Grow tables 4x at fixed batch: the collective footprint must not
+    move by a single byte — communication is batch-shaped, and the
+    table-shaped sparse-Adam moments never leave their shard."""
+    small = collective_summary(_compiled_step_hlo(4096))
+    large = collective_summary(_compiled_step_hlo(16384))
+    assert small == large, (small, large)

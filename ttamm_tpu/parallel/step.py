@@ -37,7 +37,7 @@ def make_sharded_train_step(
     data_template: BatchData,
 ):
     """Jit the train step with explicit mesh shardings (donated state)."""
-    base_step = make_train_step(cfg, tscfg)
+    base_step = make_train_step(cfg, tscfg, mesh=mesh)
     # Re-jit the underlying function with shardings: reach for the wrapped
     # fn to avoid double-jit overhead.
     inner = base_step.__wrapped__ if hasattr(base_step, "__wrapped__") else base_step

@@ -68,22 +68,26 @@ def _forward_embeddings(
     cfg: ModelConfig,
     tscfg: TrainStepConfig,
     dense: Params,
-    tables_all: Params,
     data: BatchData,
     u_idx: jax.Array,
     pos_idx: jax.Array,
     neg_idx_flat: jax.Array,
     user_rows: jax.Array,
     item_rows_all: jax.Array,
+    user_aug_rows: jax.Array | None,
+    item_aug_rows_all: jax.Array | None,
     *,
     train: bool,
     dropout_rng: jax.Array | None,
 ):
     """Shared forward producing (user_emb, pos_emb, neg_emb, mimic losses).
 
-    ``tables_all`` must contain the mimic tables (when enabled);
-    ``user_rows`` / ``item_rows_all`` are the already-gathered ID rows
-    (items ordered [positives; negatives]).
+    All table rows arrive pre-gathered: ``user_rows``/``item_rows_all``
+    are the ID rows, ``user_aug_rows``/``item_aug_rows_all`` the mimic
+    augmentation rows (items ordered [positives; negatives]). Gathering
+    OUTSIDE the differentiated function keeps every table gradient
+    batch-row-shaped — under mesh sharding the data-axis reduction then
+    moves ``[B, D]`` rows instead of a ``[rows, D]`` table-shaped grad.
     """
     batch = pos_idx.shape[0]
     num_neg = tscfg.negatives_per_positive
@@ -108,8 +112,8 @@ def _forward_embeddings(
 
     mimic_user_loss = mimic_item_loss = jnp.zeros(())
     if cfg.mimic_enabled:
-        user_aug = jnp.take(tables_all["user_aug"], u_idx, axis=0)
-        item_aug_all = jnp.take(tables_all["item_aug"], item_idx_all, axis=0)
+        user_aug = user_aug_rows
+        item_aug_all = item_aug_rows_all
         pos_aug = item_aug_all[:batch]
         neg_aug = item_aug_all[batch:]
         user_emb = user_base + user_aug
@@ -159,9 +163,27 @@ def _in_batch_softmax_loss(user_emb, pos_emb, pos_idx):
     return -jnp.mean(jnp.diagonal(log_probs))
 
 
-def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
+def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
     """Build the jitted train step ``(state, data, u_idx, pos_idx, rng) ->
-    (state, metrics)``."""
+    (state, metrics)``.
+
+    ``mesh``: when compiling for a device mesh, pass it so batch-shaped
+    intermediates that feed table-shaped scatters can be pinned replicated
+    — the partitioner then all-gathers ``[B, D]`` row grads over ``data``
+    (batch-sized) instead of all-reducing the scattered ``[rows, D]``
+    table-shaped gradient (table-sized; measured on the 8-device mesh).
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _rep = NamedSharding(mesh, PartitionSpec())
+
+        def replicate(x):
+            return jax.lax.with_sharding_constraint(x, _rep)
+    else:
+        def replicate(x):
+            return x
+
     sparse_names = sparse_table_names(cfg)
     dense_tbl_names = dense_table_names(cfg)
     sparse_lr = tscfg.opt.lr
@@ -172,22 +194,22 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
 
     def loss_fn(diff, data, u_idx, pos_idx, neg_idx_flat, dropout_rng):
         dense = diff["dense"]
-        dtables = diff["tables"]
         srows = diff["sparse_rows"]
+        trows = diff["table_rows"]
 
-        if "user_id" in sparse_names:
-            user_rows = srows["user_id"]
-        else:
-            user_rows = jnp.take(dtables["user_id"], u_idx, axis=0)
-        if "item_id" in sparse_names:
-            item_rows_all = srows["item_id"]
-        else:
-            item_idx_all = jnp.concatenate([pos_idx, neg_idx_flat])
-            item_rows_all = jnp.take(dtables["item_id"], item_idx_all, axis=0)
+        user_rows = (
+            srows["user_id"] if "user_id" in sparse_names
+            else trows["user_id"]
+        )
+        item_rows_all = (
+            srows["item_id"] if "item_id" in sparse_names
+            else trows["item_id"]
+        )
 
         user_emb, pos_emb, neg_emb, mu_loss, mi_loss = _forward_embeddings(
-            cfg, tscfg, dense, dtables, data,
+            cfg, tscfg, dense, data,
             u_idx, pos_idx, neg_idx_flat, user_rows, item_rows_all,
+            trows.get("user_aug"), trows.get("item_aug"),
             train=True, dropout_rng=dropout_rng,
         )
         if tscfg.loss_type == "in_batch_softmax":
@@ -243,24 +265,45 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
             )
             neg_flat = neg.reshape(-1)
         item_idx_all = jnp.concatenate([pos_idx, neg_flat])
+        row_idx = {
+            "user_id": u_idx, "user_aug": u_idx,
+            "item_id": item_idx_all, "item_aug": item_idx_all,
+        }
 
+        # EVERY table (sparse or dense-updated) is gathered here, outside
+        # the differentiated function: gradients arrive batch-row-shaped
+        # ([B, D] / [B*(1+NEG), D]). Dense-updated tables (mimic aug, any
+        # sparse=False ID table) get their table-shaped AdamW gradient
+        # rebuilt by a LOCAL scatter-add below — under mesh sharding the
+        # data-axis psum therefore moves row grads, never a [rows, D]
+        # table-shaped grad (measured: the table-shaped path all-reduced a
+        # full table shard per step on an 8-device mesh).
         diff = {
             "dense": state.dense,
-            "tables": {n: state.tables[n] for n in dense_tbl_names},
-            "sparse_rows": {},
+            "table_rows": {
+                n: jnp.take(state.tables[n], row_idx[n], axis=0)
+                for n in dense_tbl_names
+            },
+            "sparse_rows": {
+                n: jnp.take(state.tables[n], row_idx[n], axis=0)
+                for n in sparse_names
+            },
         }
-        if "user_id" in sparse_names:
-            diff["sparse_rows"]["user_id"] = jnp.take(
-                state.tables["user_id"], u_idx, axis=0
-            )
-        if "item_id" in sparse_names:
-            diff["sparse_rows"]["item_id"] = jnp.take(
-                state.tables["item_id"], item_idx_all, axis=0
-            )
 
         (total_loss, aux), grads = grad_fn(
             diff, data, u_idx, pos_idx, neg_flat, rng_drop
         )
+
+        # Rebuild table-shaped dense grads (scatter-add coalesces duplicate
+        # indices) BEFORE the clip so the global norm matches the previous
+        # differentiate-the-table formulation bit for bit.
+        grads["tables"] = {
+            n: jnp.zeros_like(state.tables[n])
+            .at[replicate(row_idx[n])]
+            .add(replicate(grads["table_rows"].pop(n)))
+            for n in dense_tbl_names
+        }
+        del grads["table_rows"]
 
         if tscfg.gradient_clip_norm is not None and tscfg.gradient_clip_norm > 0:
             # Global-norm clip over ALL grads (dense + sparse rows), matching
@@ -384,9 +427,16 @@ def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
 
         user_rows = jnp.take(state.tables["user_id"], u_idx, axis=0)
         item_rows_all = jnp.take(state.tables["item_id"], item_idx_all, axis=0)
+        user_aug_rows = item_aug_rows = None
+        if cfg.mimic_enabled:
+            user_aug_rows = jnp.take(state.tables["user_aug"], u_idx, axis=0)
+            item_aug_rows = jnp.take(
+                state.tables["item_aug"], item_idx_all, axis=0
+            )
         user_emb, pos_emb, neg_emb, _, _ = _forward_embeddings(
-            cfg, tscfg, state.dense, state.tables, data,
+            cfg, tscfg, state.dense, data,
             u_idx, pos_idx, neg_flat, user_rows, item_rows_all,
+            user_aug_rows, item_aug_rows,
             train=False, dropout_rng=None,
         )
         if tscfg.loss_type == "in_batch_softmax":
