@@ -42,7 +42,9 @@ from ttamm_tpu.train.state import BatchData
 B, NEG, F, D = 64, 3, 16, 64
 
 
-def _compiled_step_hlo(num_rows: int, *, sparse: bool = True) -> str:
+def _compiled_step_hlo(
+    num_rows: int, *, sparse: bool = True, exchange: str = "gspmd"
+) -> str:
     """Compile the sharded hybrid step at [num_rows, D] tables; return HLO."""
     mc = {
         "user_encoder": {
@@ -89,6 +91,7 @@ def _compiled_step_hlo(num_rows: int, *, sparse: bool = True) -> str:
         opt=parse_dense_opt_config(
             {"optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 0.01}
         ),
+        embedding_exchange=exchange,
     )
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
     pstate = place_state(mesh, pad_state_rows(state, 4))
@@ -123,4 +126,19 @@ def test_collective_bytes_independent_of_table_rows():
     table-shaped sparse-Adam moments never leave their shard."""
     small = collective_summary(_compiled_step_hlo(4096))
     large = collective_summary(_compiled_step_hlo(16384))
+    assert small == large, (small, large)
+
+
+def test_alltoall_exchange_step_no_table_sized_collectives():
+    """The explicit bucketed exchange path must also stay batch-sized."""
+    rows = 8192
+    hlo = _compiled_step_hlo(rows, exchange="alltoall")
+    assert_no_table_sized_collectives(
+        hlo,
+        {name: (rows, D) for name in
+         ("user_id", "item_id", "user_aug", "item_aug")},
+        fraction=0.1,
+    )
+    small = collective_summary(_compiled_step_hlo(4096, exchange="alltoall"))
+    large = collective_summary(_compiled_step_hlo(16384, exchange="alltoall"))
     assert small == large, (small, large)

@@ -105,6 +105,35 @@ def test_sharded_step_matches_single_device():
     assert np.allclose(dense_a, dense_b, atol=1e-5)
 
 
+def test_sharded_step_alltoall_exchange_matches_single_device():
+    """embedding_exchange='alltoall' (the explicit bucketed exchange) must
+    produce the same numbers as the local step."""
+    cfg, state, data, tscfg = _setup()
+    step = make_train_step(cfg, tscfg)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(42)
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    tscfg = tscfg._replace(embedding_exchange="alltoall")
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = place_state(mesh, pad_state_rows(state, 2))
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    rows = np.asarray(ref_state.tables["user_id"])
+    srows = np.asarray(new_state.tables["user_id"])[: rows.shape[0]]
+    assert np.allclose(rows, srows, atol=1e-5)
+    aug = np.asarray(ref_state.tables["item_aug"])
+    saug = np.asarray(new_state.tables["item_aug"])[: aug.shape[0]]
+    assert np.allclose(aug, saug, atol=1e-5)
+
+
 def test_sharded_step_runs_multiple_steps():
     cfg, state, data, tscfg = _setup(seed=3)
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))

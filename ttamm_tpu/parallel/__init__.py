@@ -1,3 +1,8 @@
+from .exchange import (
+    make_exchange_lookup,
+    padded_exchange_lookup,
+    route_by_owner,
+)
 from .launch import is_primary_host, maybe_initialize_distributed
 from .mesh import (
     DATA_AXIS,
@@ -27,8 +32,11 @@ __all__ = [
     "batch_sharding",
     "build_mesh",
     "data_shardings",
+    "make_exchange_lookup",
     "make_sharded_train_step",
     "pad_batch_data",
+    "padded_exchange_lookup",
+    "route_by_owner",
     "pad_state_rows",
     "parse_mesh_config",
     "place_data",

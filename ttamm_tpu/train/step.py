@@ -55,6 +55,11 @@ class TrainStepConfig(NamedTuple):
     # backends, off elsewhere (the kernel needs Mosaic; numerics match
     # XLA's default bf16 TPU dot precision).
     cal_use_pallas: bool | None = None
+    # Table-row lookup strategy under a mesh: 'gspmd' lets the
+    # partitioner lower jnp.take on the row-sharded tables; 'alltoall'
+    # routes ids/rows explicitly through the bucketed exchange
+    # (parallel/exchange.py). Ignored single-chip (mesh=None).
+    embedding_exchange: str = "gspmd"
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -184,6 +189,19 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
         def replicate(x):
             return x
 
+    if tscfg.embedding_exchange not in {"gspmd", "alltoall"}:
+        raise ValueError(
+            f"Unknown embedding_exchange: {tscfg.embedding_exchange}"
+        )
+    if mesh is not None and tscfg.embedding_exchange == "alltoall":
+        from ..parallel.exchange import padded_exchange_lookup
+
+        def table_lookup(table, idx):
+            return padded_exchange_lookup(mesh, table, idx)
+    else:
+        def table_lookup(table, idx):
+            return jnp.take(table, idx, axis=0)
+
     sparse_names = sparse_table_names(cfg)
     dense_tbl_names = dense_table_names(cfg)
     sparse_lr = tscfg.opt.lr
@@ -281,11 +299,11 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
         diff = {
             "dense": state.dense,
             "table_rows": {
-                n: jnp.take(state.tables[n], row_idx[n], axis=0)
+                n: table_lookup(state.tables[n], row_idx[n])
                 for n in dense_tbl_names
             },
             "sparse_rows": {
-                n: jnp.take(state.tables[n], row_idx[n], axis=0)
+                n: table_lookup(state.tables[n], row_idx[n])
                 for n in sparse_names
             },
         }
