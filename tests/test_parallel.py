@@ -134,6 +134,40 @@ def test_sharded_step_alltoall_exchange_matches_single_device():
     assert np.allclose(aug, saug, atol=1e-5)
 
 
+def test_sharded_step_tensor_parallel_matches_single_device():
+    """tensor_parallel=True shards the dense MLP/gate weights and their
+    AdamW moments over the model axis; numerics must be unchanged."""
+    cfg, state, data, tscfg = _setup()
+    step = make_train_step(cfg, tscfg)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(42)
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    pstate = place_state(mesh, pad_state_rows(state, 4), tensor_parallel=True)
+    pdata = place_data(mesh, pad_batch_data(data, 4))
+    # The MLP hidden dim (32) and output (16) divide the model axis (4):
+    # the weights must actually be sharded, not silently replicated.
+    w0 = pstate.dense["user_tower"]["feature_encoder"]["layers"][0]["w"]
+    assert w0.sharding.spec == (None, "model"), w0.sharding
+    sharded = make_sharded_train_step(
+        cfg, tscfg, mesh, pstate, pdata, tensor_parallel=True
+    )
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    for ref_leaf, got_leaf in zip(
+        jax.tree.leaves(ref_state.dense), jax.tree.leaves(new_state.dense)
+    ):
+        assert np.allclose(
+            np.asarray(ref_leaf), np.asarray(got_leaf), atol=1e-5
+        )
+
+
 def test_sharded_step_runs_multiple_steps():
     cfg, state, data, tscfg = _setup(seed=3)
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))

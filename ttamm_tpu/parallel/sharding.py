@@ -2,9 +2,10 @@
 
 Row tables (user/item ID tables, mimic augmentation tables) and their
 optimizer moments are sharded along the ``model`` axis; dense tower params
-and their moments are replicated; dataset arrays (feature matrices, padded
-positives, category ids) are row-sharded with the tables that index them;
-batch index vectors are sharded along ``data``.
+and their moments are replicated by default, or tensor-parallel-sharded
+over ``model`` with ``tensor_parallel=True``; dataset arrays (feature
+matrices, padded positives, category ids) are row-sharded with the tables
+that index them; batch index vectors are sharded along ``data``.
 
 Under ``jax.jit`` with these shardings XLA GSPMD inserts the cross-shard
 collectives for table lookups (gather -> all-gather/psum) and the sparse
@@ -20,6 +21,7 @@ optimizer's scratch row is the last padded row).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -52,17 +54,48 @@ def table_shardings(mesh: Mesh, tables: dict[str, Any]) -> dict[str, Any]:
     return {name: _row_sharded(mesh) for name in tables}
 
 
-def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
-    """A TrainState-shaped pytree of NamedShardings."""
+def _tp_spec(mesh: Mesh, x) -> NamedSharding:
+    """Tensor-parallel spec for one dense leaf: shard the trailing dim of
+    2-D weights over ``model`` (Megatron column style — GSPMD inserts the
+    activation collectives), the leading dim as fallback, 1-D biases over
+    ``model`` when divisible; replicate anything that doesn't divide."""
+    size = mesh.shape[MODEL_AXIS]
+    shape = getattr(x, "shape", ())
+    if len(shape) == 2:
+        if shape[1] % size == 0:
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if shape[0] % size == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+    elif len(shape) == 1 and shape and shape[0] % size == 0:
+        return NamedSharding(mesh, P(MODEL_AXIS))
+    return _replicated(mesh)
+
+
+def state_shardings(
+    mesh: Mesh, state: TrainState, *, tensor_parallel: bool = False
+) -> TrainState:
+    """A TrainState-shaped pytree of NamedShardings.
+
+    ``tensor_parallel=True`` additionally shards the dense tower params
+    (feature MLPs, fusion gates) and their AdamW moments over the
+    ``model`` axis — numerically equivalent by GSPMD construction
+    (``tests/test_parallel.py``); worthwhile only for towers wide enough
+    that weight HBM or per-chip matmul time matters.
+    """
     rep = _replicated(mesh)
     row = _row_sharded(mesh)
 
     tables_s = {name: row for name in state.tables}
-    dense_s = jax.tree.map(lambda _: rep, state.dense)
+    if tensor_parallel:
+        dense_leaf = partial(_tp_spec, mesh)
+    else:
+        def dense_leaf(_):
+            return rep
+    dense_s = jax.tree.map(dense_leaf, state.dense)
 
     def _opt_dense_target_sharding(target):
         return {
-            "dense": jax.tree.map(lambda _: rep, target["dense"]),
+            "dense": jax.tree.map(dense_leaf, target["dense"]),
             "tables": {name: row for name in target["tables"]},
         }
 
@@ -165,8 +198,12 @@ def pad_batch_data(data: BatchData, model_parallel: int) -> BatchData:
     )
 
 
-def place_state(mesh: Mesh, state: TrainState) -> TrainState:
-    return jax.device_put(state, state_shardings(mesh, state))
+def place_state(
+    mesh: Mesh, state: TrainState, *, tensor_parallel: bool = False
+) -> TrainState:
+    return jax.device_put(
+        state, state_shardings(mesh, state, tensor_parallel=tensor_parallel)
+    )
 
 
 def place_data(mesh: Mesh, data: BatchData) -> BatchData:

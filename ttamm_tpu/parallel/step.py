@@ -35,14 +35,23 @@ def make_sharded_train_step(
     mesh: Mesh,
     state_template: TrainState,
     data_template: BatchData,
+    *,
+    tensor_parallel: bool = False,
 ):
-    """Jit the train step with explicit mesh shardings (donated state)."""
+    """Jit the train step with explicit mesh shardings (donated state).
+
+    ``tensor_parallel`` must match how the state was placed
+    (``place_state``): True additionally shards dense tower params and
+    their moments over the ``model`` axis.
+    """
     base_step = make_train_step(cfg, tscfg, mesh=mesh)
     # Re-jit the underlying function with shardings: reach for the wrapped
     # fn to avoid double-jit overhead.
     inner = base_step.__wrapped__ if hasattr(base_step, "__wrapped__") else base_step
 
-    st_shard = state_shardings(mesh, state_template)
+    st_shard = state_shardings(
+        mesh, state_template, tensor_parallel=tensor_parallel
+    )
     dt_shard = data_shardings(mesh, data_template)
     b_shard = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
