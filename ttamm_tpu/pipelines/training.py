@@ -522,15 +522,22 @@ def run_single_experiment(
         data_parallel=int(mesh_cfg_raw.get("data_parallel", 1)),
         model_parallel=int(mesh_cfg_raw.get("model_parallel", 1)),
     )
+    mesh = None
+    tensor_parallel = bool(mesh_cfg_raw.get("tensor_parallel", False))
     if mesh_cfg.num_devices > 1:
         mesh = build_mesh(mesh_cfg)
-        state = place_state(mesh, pad_state_rows(state, mesh_cfg.model_parallel))
+        state = place_state(
+            mesh,
+            pad_state_rows(state, mesh_cfg.model_parallel),
+            tensor_parallel=tensor_parallel,
+        )
         data = place_data(mesh, pad_batch_data(data, mesh_cfg.model_parallel))
         logger.info(
-            "Mesh | data_parallel=%d model_parallel=%d devices=%d",
+            "Mesh | data_parallel=%d model_parallel=%d devices=%d tp=%s",
             mesh_cfg.data_parallel,
             mesh_cfg.model_parallel,
             mesh_cfg.num_devices,
+            tensor_parallel,
         )
 
     loss_type = str(training_config.get("loss", "bce")).lower()
@@ -563,10 +570,13 @@ def run_single_experiment(
         # overlaps the independent m/v/w row ops across DMA queues while a
         # Pallas kernel issues from one core (see ops/pallas/rows.py).
         use_pallas=bool(training_config.get("use_pallas", False)),
+        embedding_exchange=str(
+            mesh_cfg_raw.get("embedding_exchange", "gspmd")
+        ),
         opt=parse_dense_opt_config(training_config),
     )
-    train_step = make_train_step(model_cfg, tscfg)
-    multi_step = make_multi_train_step(model_cfg, tscfg)
+    train_step = make_train_step(model_cfg, tscfg, mesh=mesh)
+    multi_step = make_multi_train_step(model_cfg, tscfg, mesh=mesh)
     steps_per_call_cfg = training_config.get("steps_per_call", "auto")
     eval_step = make_eval_loss_step(model_cfg, tscfg)
     multi_eval_step = make_multi_eval_loss_step(model_cfg, tscfg)

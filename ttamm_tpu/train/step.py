@@ -373,7 +373,7 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
     return train_step
 
 
-def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
+def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
     """Jitted multi-batch step: ``lax.scan`` the train step over K stacked
     batches in one device call.
 
@@ -383,7 +383,7 @@ def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     whole chunks of the epoch and falls back to the single step for the
     remainder batch. Donates the input state.
     """
-    single = make_train_step(cfg, tscfg)
+    single = make_train_step(cfg, tscfg, mesh=mesh)
     raw_step = single.__wrapped__
 
     def multi(state: TrainState, data: BatchData, u_all, p_all, rng):
