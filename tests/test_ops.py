@@ -288,7 +288,8 @@ def test_mips_topk_bfloat16_mode():
 
 def test_mips_topk_bfloat16_mask_and_tail():
     # mask_rows exclusion + row-padded tail handling under the bf16 slab
-    # (NEG_INF rounds to -inf in bf16; pad columns masked post-selection).
+    # (masked entries use the FINITE bf16 min; pad columns masked
+    # post-selection).
     rng = np.random.default_rng(22)
     items = rng.normal(0, 1, (200, 8)).astype(np.float32)  # 56 pad rows
     queries = rng.normal(0, 1, (4, 8)).astype(np.float32)
@@ -303,3 +304,37 @@ def test_mips_topk_bfloat16_mask_and_tail():
     assert (ib < 200).all()
     assert not np.isin(ib[0], [0, 1, 2]).any()
     assert np.isfinite(np.asarray(sb)).all()
+
+
+def test_mips_topk_bfloat16_mask_matches_dense_reference():
+    # Regression: masking the bf16 slab with a value that rounds to -inf
+    # NaN-poisons the one-hot selection einsum (0 * -inf = NaN) — every
+    # candidate column sharing a slab column with a blocked entry went NaN
+    # and the eval's validity bits collapsed (nvalid=0 -> all-GT-appended
+    # -> recall "1.0" in the round-2 serving gate). Pin the full result
+    # against a dense bf16 scoring + numpy sort reference at a small k
+    # where the true top scores cannot hide the corruption.
+    rng = np.random.default_rng(31)
+    items = rng.normal(0, 1, (400, 16)).astype(np.float32)
+    queries = rng.normal(0, 1, (8, 16)).astype(np.float32)
+    mask = rng.integers(0, 400, (8, 6)).astype(np.int32)
+    sb, ib = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=5,
+        mask_rows=jnp.asarray(mask), score_dtype="bfloat16",
+    )
+    sb, ib = np.asarray(sb), np.asarray(ib)
+    assert np.isfinite(sb).all()
+    dense = np.array(
+        jnp.dot(
+            jnp.asarray(queries).astype(jnp.bfloat16),
+            jnp.asarray(items).astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    for b in range(8):
+        dense[b, mask[b]] = -np.inf
+    expected = -np.sort(-dense, axis=1)[:, :5]
+    assert np.array_equal(sb, expected)
+    assert np.array_equal(np.take_along_axis(dense, ib, axis=1), sb)
+    for b in range(8):
+        assert not set(ib[b].tolist()) & set(mask[b].tolist())

@@ -26,6 +26,18 @@ def test_flat_index_roundtrip(tmp_path):
     assert np.allclose(norms, 1.0, atol=1e-5)
 
 
+def test_flat_index_score_dtype_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    emb = rng.normal(0, 1, (10, 4)).astype(np.float32)
+    path = tmp_path / "items.index"
+    build_flat_index(emb, score_dtype="bfloat16").save(path)
+    assert FlatIndex.load(path).score_dtype == "bfloat16"
+    build_flat_index(emb).save(path)
+    assert FlatIndex.load(path).score_dtype == "float32"
+    with pytest.raises(ValueError):
+        build_flat_index(emb, score_dtype="float16")
+
+
 def test_flat_index_bad_magic(tmp_path):
     path = tmp_path / "bogus.index"
     path.write_bytes(b"NOTANIDX" + b"\x00" * 64)

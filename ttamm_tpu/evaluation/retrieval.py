@@ -242,7 +242,8 @@ def _scan_encode_search(
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "deep_k", "chunk", "cosine", "max_k")
+    jax.jit,
+    static_argnames=("cfg", "deep_k", "chunk", "cosine", "max_k", "score_dtype"),
 )
 def _scan_encode_search_hits(
     state: TrainState,
@@ -257,6 +258,7 @@ def _scan_encode_search_hits(
     chunk: int,
     cosine: bool,
     max_k: int,
+    score_dtype: str = "float32",
 ) -> jax.Array:
     """Whole-corpus eval returning the per-user HIT MATRIX on device.
 
@@ -287,6 +289,7 @@ def _scan_encode_search_hits(
             chunk_size=chunk,
             mask_rows=mask_rows,
             normalize_queries=cosine,
+            score_dtype=score_dtype,
         )
         valid = scores > _VALID_THRESHOLD  # [bs, deep_k]
         nvalid = jnp.sum(valid.astype(jnp.int32), axis=-1)  # [bs]
@@ -323,8 +326,13 @@ def evaluate_retrieval_metrics(
     k_values: Iterable[int],
     item_embeddings: jax.Array | None = None,
     topk_chunk_size: int = 8192,
+    score_dtype: str = "float32",
 ):
     """One-dispatch retrieval eval straight to :class:`RankingMetrics`.
+
+    ``score_dtype="bfloat16"`` scores the MIPS sweep in bf16 (the serving
+    fast path) — used by the pipeline's serving-precision recall gate;
+    metric-parity evals keep the float32 default.
 
     Metric-identical to ``compute_ranking_metrics(*evaluate_retrieval(...))``
     (pinned by ``tests/test_retrieval_eval.py``) but skips the per-user
@@ -349,7 +357,7 @@ def evaluate_retrieval_metrics(
         state, data, cfg, plan.user_mat, plan.gt_mat, item_embeddings,
         plan.blocked_rows,
         deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
-        max_k=max_k,
+        max_k=max_k, score_dtype=score_dtype,
     )
     hits_np = np.asarray(jax.device_get(hits))  # [nb, bs, max_k]
     # Drop the pad rows (short final batch repeats its last user; counting

@@ -212,8 +212,13 @@ def _mask_scatter(scores: jax.Array, mask_rows: jax.Array) -> jax.Array:
     row_ids = jnp.broadcast_to(
         jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None], mask_rows.shape
     )
+    # FINITE min of the slab dtype, never -inf: float32.min rounds to -inf
+    # in bf16, and a -inf slab entry NaN-poisons the one-hot selection
+    # einsum (0 * -inf = NaN for every unselected group sharing the
+    # column), silently corrupting bf16-mode results. finfo(f32).min IS
+    # NEG_INF, so the fp32 path is unchanged.
     return scores.at[row_ids, mask_rows.astype(jnp.int32)].set(
-        jnp.asarray(NEG_INF, scores.dtype),  # rounds to -inf in bf16: fine
+        jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype),
         mode="drop",
         unique_indices=False,
     )
@@ -276,8 +281,9 @@ def _group_exact_topk(
     # (the fp32 slab needs the exact bf16x3 decomposition). The MXU still
     # accumulates each dot product in fp32 before rounding the slab entry.
     slab_dtype = queries.dtype if queries.dtype == jnp.bfloat16 else jnp.float32
-    neg = jnp.asarray(NEG_INF, slab_dtype)  # rounds to -inf in bf16: fine
-    #     for max-reduces and top-k (the small-k kernel handles -inf).
+    # Finite min, NOT -inf: bf16(-inf) in the slab turns the one-hot
+    # selection einsum into NaNs (0 * -inf). See _mask_scatter.
+    neg = jnp.asarray(jnp.finfo(slab_dtype).min, slab_dtype)
 
     def block(q, m):
         qb = q.shape[0]

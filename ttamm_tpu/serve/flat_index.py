@@ -6,7 +6,11 @@ paths from ``configs/default.yaml:94-99``). Here the artifact is an open
 binary format (magic ``TTFLAT1``) holding the float32 embedding matrix and
 a normalize flag:
 
-    [8s magic][u32 version][u32 dim][u64 count][u8 normalized][pad 3][data]
+    [8s magic][u32 version][u32 dim][u64 count][u8 normalized]
+    [u8 score_dtype: 0=float32 1=bfloat16][pad 2][data]
+
+(The score byte reuses a v1 pad byte: v1 files read as 0 = float32, and
+v1 readers ignore it — both directions stay compatible.)
 
 Search backends, fastest available first:
 
@@ -27,7 +31,9 @@ import numpy as np
 
 MAGIC = b"TTFLAT1\x00"
 VERSION = 1
-_HEADER = struct.Struct("<8sII Q B3x")
+_HEADER = struct.Struct("<8sII Q BB2x")
+_SCORE_FLAGS = {"float32": 0, "bfloat16": 1}
+_FLAG_SCORES = {v: k for k, v in _SCORE_FLAGS.items()}
 
 
 @dataclass
@@ -37,10 +43,12 @@ class FlatIndex:
     embeddings: np.ndarray  # float32 [count, dim]
     normalized: bool = False
     # Device-backend scoring precision: 'float32' (exact, FAISS-parity) or
-    # 'bfloat16' (opt-in fast path: ~1.5x device throughput measured on
+    # 'bfloat16' (serving fast path: ~1.5x device throughput measured on
     # v5e — 595k vs 393k q/s at B=1024, N=100k, k=20 — ranking exact
-    # w.r.t. bf16-rounded scores; see ops/topk.py mips_topk). Host backends
-    # (native/numpy) always score in float32.
+    # w.r.t. bf16-rounded scores; see ops/topk.py mips_topk). The training
+    # pipeline exports bf16 only after an explicit recall-delta gate on
+    # the final e2e eval (config ``serving:``); persisted in the artifact
+    # header. Host backends (native/numpy) always score in float32.
     score_dtype: str = "float32"
 
     @property
@@ -139,7 +147,10 @@ class FlatIndex:
         emb = np.ascontiguousarray(self.embeddings, dtype=np.float32)
         with open(path, "wb") as handle:
             handle.write(
-                _HEADER.pack(MAGIC, VERSION, emb.shape[1], emb.shape[0], int(self.normalized))
+                _HEADER.pack(
+                    MAGIC, VERSION, emb.shape[1], emb.shape[0],
+                    int(self.normalized), _SCORE_FLAGS[self.score_dtype],
+                )
             )
             handle.write(emb.tobytes())
 
@@ -148,14 +159,18 @@ class FlatIndex:
         path = Path(path)
         with open(path, "rb") as handle:
             header = handle.read(_HEADER.size)
-            magic, version, dim, count, normalized = _HEADER.unpack(header)
+            magic, version, dim, count, normalized, score_flag = (
+                _HEADER.unpack(header)
+            )
             if magic != MAGIC:
                 raise ValueError(f"{path} is not a TTFLAT index (bad magic).")
             if version != VERSION:
                 raise ValueError(f"Unsupported TTFLAT version {version}.")
             data = np.frombuffer(handle.read(count * dim * 4), dtype=np.float32)
         return cls(
-            embeddings=data.reshape(count, dim).copy(), normalized=bool(normalized)
+            embeddings=data.reshape(count, dim).copy(),
+            normalized=bool(normalized),
+            score_dtype=_FLAG_SCORES.get(score_flag, "float32"),
         )
 
 
@@ -184,11 +199,20 @@ def _numpy_search(
     )
 
 
-def build_flat_index(embeddings: np.ndarray, *, normalize: bool = False) -> FlatIndex:
+def build_flat_index(
+    embeddings: np.ndarray,
+    *,
+    normalize: bool = False,
+    score_dtype: str = "float32",
+) -> FlatIndex:
     """Build an index, L2-normalising rows when ``normalize`` (cosine mode,
     matching FAISS ``normalize_L2`` + ``IndexFlatIP``)."""
+    if score_dtype not in _SCORE_FLAGS:
+        raise ValueError(f"Unknown score_dtype: {score_dtype}")
     emb = np.ascontiguousarray(embeddings, dtype=np.float32)
     if normalize:
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.maximum(norms, 1e-12)
-    return FlatIndex(embeddings=emb, normalized=normalize)
+    return FlatIndex(
+        embeddings=emb, normalized=normalize, score_dtype=score_dtype
+    )
