@@ -149,6 +149,32 @@ def test_end_to_end_run_and_artifacts(synth_dir, tmp_path):
     assert idx[0, 0] == 0 and idx[1, 0] == 1
 
 
+def test_serving_score_dtype_forced_and_auto(synth_dir, tmp_path):
+    """The serving: config block controls the exported index precision:
+    forced values skip the gate; `auto` runs the bf16 recall gate against
+    the final validation eval and persists its decision in the header."""
+    from ttamm_tpu.serve import FlatIndex
+
+    artifact_dir = tmp_path / "forced"
+    config = _config(synth_dir, artifact_dir)
+    config["training"]["num_epochs"] = 1
+    config["serving"] = {"score_dtype": "bfloat16"}
+    run_training(config)
+    assert FlatIndex.load(artifact_dir / "items.index").score_dtype == "bfloat16"
+
+    artifact_dir = tmp_path / "auto"
+    config = _config(synth_dir, artifact_dir)
+    config["training"]["num_epochs"] = 1
+    config["serving"] = {"score_dtype": "auto", "bf16_recall_gate": 0.002}
+    run_training(config)
+    # The gate's decision must be a valid persisted precision either way
+    # (tiny noisy corpora legitimately fall on either side of the gate).
+    assert FlatIndex.load(artifact_dir / "items.index").score_dtype in (
+        "float32",
+        "bfloat16",
+    )
+
+
 def test_sweep_grid_writes_ledger(synth_dir, tmp_path):
     artifact_dir = tmp_path / "artifacts"
     config = _config(synth_dir, artifact_dir)
