@@ -58,3 +58,123 @@ def test_augment_adds_rows():
 def test_invalid_sizes_raise():
     with pytest.raises(ValueError):
         init_mimic_tables(jax.random.key(0), num_users=0, num_items=3, embedding_dim=4)
+
+
+# ---------------------------------------------------------------- sparse mode
+
+
+def _tiny_cfg(mimic_sparse: bool):
+    from ttamm_tpu.models import parse_model_config
+
+    raw = {
+        "user_encoder": {
+            "type": "tower",
+            "id_embedding": {
+                "params": {"embedding_dim": 16, "sparse": True},
+                "init": {"type": "normal", "std": 0.02},
+            },
+            "feature_encoder": {
+                "type": "mlp", "hidden_dims": [32], "activation": "relu",
+                "output_dim": 16, "dropout": 0.0,
+            },
+            "fusion": "gated",
+            "output_dim": 16,
+        },
+        "item_encoder": {
+            "type": "tower",
+            "id_embedding": {
+                "params": {"embedding_dim": 16, "sparse": True},
+                "init": {"type": "normal", "std": 0.02},
+            },
+            "feature_encoder": {
+                "type": "mlp", "hidden_dims": [32], "activation": "relu",
+                "output_dim": 16, "dropout": 0.0,
+            },
+            "fusion": "gated",
+            "output_dim": 16,
+        },
+        "similarity": "cosine",
+        "adaptive_mimic": {"enabled": True, "sparse": mimic_sparse},
+    }
+    return parse_model_config(raw, user_feature_dim=8, item_feature_dim=8)
+
+
+def _tiny_setup(mimic_sparse: bool, weight_decay: float):
+    from ttamm_tpu.train import TrainStepConfig, create_train_state, make_train_step
+    from ttamm_tpu.train.optim import parse_dense_opt_config
+    from ttamm_tpu.train.state import BatchData
+
+    cfg = _tiny_cfg(mimic_sparse)
+    num_users, num_items = 40, 30
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=num_users, num_items=num_items
+    )
+    rng = np.random.default_rng(0)
+    data = BatchData(
+        user_features=jnp.asarray(
+            rng.normal(0, 1, (num_users, 8)).astype(np.float32)
+        ),
+        item_features=jnp.asarray(
+            rng.normal(0, 1, (num_items, 8)).astype(np.float32)
+        ),
+        positive_rows=jnp.asarray(
+            rng.integers(0, num_items, (num_users, 4)).astype(np.int32)
+        ),
+        category_ids=jnp.asarray(rng.integers(0, 4, num_items).astype(np.int32)),
+    )
+    tscfg = TrainStepConfig(
+        num_items=num_items,
+        negatives_per_positive=2,
+        lambda_mimic_user=0.15,
+        lambda_mimic_item=0.15,
+        opt=parse_dense_opt_config(
+            {
+                "optimizer": "adamw",
+                "learning_rate": 1e-3,
+                "weight_decay": weight_decay,
+            }
+        ),
+    )
+    return cfg, state, data, tscfg, make_train_step(cfg, tscfg)
+
+
+def test_mimic_sparse_routes_tables_and_updates_lazily():
+    # adaptive_mimic.sparse=True: aug tables join the sparse-row optimizer
+    # (scratch row appended) and only batch rows are touched per step —
+    # the TPU scaling mode for multi-million-row corpora.
+    from ttamm_tpu.train.state import dense_table_names, sparse_table_names
+
+    cfg, state, data, tscfg, step = _tiny_setup(True, weight_decay=0.01)
+    assert sparse_table_names(cfg) == (
+        "user_id", "item_id", "user_aug", "item_aug",
+    )
+    assert dense_table_names(cfg) == ()
+    assert state.tables["user_aug"].shape[0] == 41  # scratch row
+    assert set(state.opt_sparse) == {"user_id", "item_id", "user_aug", "item_aug"}
+
+    u = jnp.asarray([1, 2, 3, 1], jnp.int32)
+    p = jnp.asarray([5, 6, 7, 8], jnp.int32)
+    new_state, metrics = step(state, data, u, p, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    before = np.asarray(state.tables["user_aug"])
+    after = np.asarray(new_state.tables["user_aug"])
+    changed = set(np.where(np.any(before != after, axis=1))[0].tolist())
+    assert changed == {1, 2, 3}  # touched users only; scratch row untouched
+
+
+def test_mimic_sparse_first_step_matches_dense_without_decay():
+    # At weight_decay=0 the first AdamW step equals the SparseAdam step on
+    # every touched row (same moments, same bias correction), and dense
+    # AdamW's zero-grad rows get a zero delta — so step 1 must produce
+    # bit-identical aug tables across the two modes (same seeds).
+    _, state_d, data, _, step_d = _tiny_setup(False, weight_decay=0.0)
+    _, state_s, _, _, step_s = _tiny_setup(True, weight_decay=0.0)
+
+    u = jnp.asarray([1, 2, 3, 1], jnp.int32)
+    p = jnp.asarray([5, 6, 7, 8], jnp.int32)
+    new_d, _ = step_d(state_d, data, u, p, jax.random.key(1))
+    new_s, _ = step_s(state_s, data, u, p, jax.random.key(1))
+    for name in ("user_aug", "item_aug"):
+        dense_tbl = np.asarray(new_d.tables[name])
+        sparse_tbl = np.asarray(new_s.tables[name])[: dense_tbl.shape[0]]
+        np.testing.assert_array_equal(dense_tbl, sparse_tbl)

@@ -21,18 +21,30 @@ def init_mimic_tables(
     num_items: int,
     embedding_dim: int,
     init_std: float = 0.02,
+    extra_rows: int = 0,
     dtype=jnp.float32,
 ) -> dict[str, jax.Array]:
-    """N(0, init_std) user/item augmentation tables (ref ``:35-38``)."""
+    """N(0, init_std) user/item augmentation tables (ref ``:35-38``).
+
+    ``extra_rows`` appends zero scratch rows (never read; scatter-padding
+    targets when the tables are on the sparse-row optimizer)."""
     if num_users <= 0 or num_items <= 0:
         raise ValueError("num_users and num_items must be positive.")
     ukey, ikey = jax.random.split(key)
-    return {
+    tables = {
         "user_aug": jax.random.normal(ukey, (num_users, embedding_dim), dtype)
         * init_std,
         "item_aug": jax.random.normal(ikey, (num_items, embedding_dim), dtype)
         * init_std,
     }
+    if extra_rows:
+        tables = {
+            name: jnp.concatenate(
+                [t, jnp.zeros((extra_rows, embedding_dim), dtype)]
+            )
+            for name, t in tables.items()
+        }
+    return tables
 
 
 def mimic_forward(

@@ -34,6 +34,15 @@ class ModelConfig:
     similarity: str = "cosine"  # 'cosine' | 'dot'
     mimic_enabled: bool = True
     mimic_init_std: float = 0.02
+    # Route the mimic augmentation tables through sparse-row Adam (exactly
+    # like `sparse: true` ID embeddings) instead of the reference's dense
+    # AdamW. A TPU scaling option: dense AdamW touches the FULL [rows, D]
+    # table + both moments every step (~9x table bytes of HBM traffic),
+    # which dominates the step beyond ~1M rows; sparse-row Adam keeps the
+    # per-step cost batch-sized. Semantics follow torch's sparse-embedding
+    # split (SparseAdam: lazy moments, no weight decay on untouched rows),
+    # so it is OFF by default for reference parity.
+    mimic_sparse: bool = False
 
     @property
     def embedding_dim(self) -> int:
@@ -81,6 +90,7 @@ def parse_model_config(
         similarity=similarity,
         mimic_enabled=mimic_enabled,
         mimic_init_std=float(mimic_cfg.get("init_std", 0.02)),
+        mimic_sparse=bool(mimic_cfg.get("sparse", False)),
     )
 
 
@@ -95,9 +105,10 @@ def init_model(
 ) -> tuple[Params, Params]:
     """Initialise ``(tables, dense)`` parameter pytrees.
 
-    ``table_extra_rows`` appends scratch rows to the *sparse* ID tables only
-    (scatter-padding targets for the sparse-row optimizer); dense-updated
-    tables (including mimic tables) stay exactly sized.
+    ``table_extra_rows`` appends scratch rows to every table on the
+    sparse-row optimizer (scatter-padding targets) — the sparse ID tables,
+    plus the mimic tables when ``mimic_sparse``; dense-updated tables stay
+    exactly sized.
     """
     ukey, ikey, mkey = jax.random.split(key, 3)
     user_extra = table_extra_rows if cfg.user_tower.embedding.sparse else 0
@@ -126,6 +137,7 @@ def init_model(
                 num_items=num_items,
                 embedding_dim=cfg.embedding_dim,
                 init_std=cfg.mimic_init_std,
+                extra_rows=table_extra_rows if cfg.mimic_sparse else 0,
                 dtype=dtype,
             )
         )

@@ -29,6 +29,15 @@ import jax
 import jax.numpy as jnp
 
 
+# XLA:TPU's sorted-scatter lowering (indices_are_sorted=True) is ~2x
+# faster than the generic scatter on small tables but costs LINEAR in the
+# table row count (measured on v5e, 12,288 x 128 updates: 0.72 ms at 100k
+# rows -> 3.68 ms at 2M, while the generic path is flat at ~1.37 ms; same
+# presorted indices, only the hint differs). Crossover ~500k rows. The
+# indices stay sorted either way — only the lowering hint changes.
+SORTED_SCATTER_MAX_ROWS = 500_000
+
+
 class SparseAdamState(NamedTuple):
     m: jax.Array  # [rows, dim] first moment (same row count as the table)
     v: jax.Array  # [rows, dim] second moment
@@ -191,14 +200,15 @@ def sparse_adam_update_sorted(
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
     head = is_head[:, None]
+    hint = table.shape[0] <= SORTED_SCATTER_MAX_ROWS
     new_table = table.at[sorted_idx].add(
-        jnp.where(head, -delta, 0.0), indices_are_sorted=True
+        jnp.where(head, -delta, 0.0), indices_are_sorted=hint
     )
     new_m = state.m.at[sorted_idx].add(
-        jnp.where(head, m_new - m_rows, 0.0), indices_are_sorted=True
+        jnp.where(head, m_new - m_rows, 0.0), indices_are_sorted=hint
     )
     new_v = state.v.at[sorted_idx].add(
-        jnp.where(head, v_new - v_rows, 0.0), indices_are_sorted=True
+        jnp.where(head, v_new - v_rows, 0.0), indices_are_sorted=hint
     )
     return new_table, SparseAdamState(m=new_m, v=new_v, step=step)
 

@@ -40,13 +40,15 @@ def sparse_table_names(cfg: ModelConfig) -> tuple[str, ...]:
         names.append("user_id")
     if cfg.item_tower.embedding.sparse:
         names.append("item_id")
+    if cfg.mimic_enabled and cfg.mimic_sparse:
+        names.extend(["user_aug", "item_aug"])
     return tuple(names)
 
 
 def dense_table_names(cfg: ModelConfig) -> tuple[str, ...]:
     sparse = set(sparse_table_names(cfg))
     names = [n for n in ("user_id", "item_id") if n not in sparse]
-    if cfg.mimic_enabled:
+    if cfg.mimic_enabled and not cfg.mimic_sparse:
         names.extend(["user_aug", "item_aug"])
     return tuple(names)
 

@@ -212,22 +212,12 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
 
     def loss_fn(diff, data, u_idx, pos_idx, neg_idx_flat, dropout_rng):
         dense = diff["dense"]
-        srows = diff["sparse_rows"]
-        trows = diff["table_rows"]
-
-        user_rows = (
-            srows["user_id"] if "user_id" in sparse_names
-            else trows["user_id"]
-        )
-        item_rows_all = (
-            srows["item_id"] if "item_id" in sparse_names
-            else trows["item_id"]
-        )
+        rows = {**diff["table_rows"], **diff["sparse_rows"]}
 
         user_emb, pos_emb, neg_emb, mu_loss, mi_loss = _forward_embeddings(
             cfg, tscfg, dense, data,
-            u_idx, pos_idx, neg_idx_flat, user_rows, item_rows_all,
-            trows.get("user_aug"), trows.get("item_aug"),
+            u_idx, pos_idx, neg_idx_flat, rows["user_id"], rows["item_id"],
+            rows.get("user_aug"), rows.get("item_aug"),
             train=True, dropout_rng=dropout_rng,
         )
         if tscfg.loss_type == "in_batch_softmax":
@@ -343,20 +333,12 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
             new_tables[name] = new_dense_target["tables"][name]
 
         new_opt_sparse = dict(state.opt_sparse)
-        if "user_id" in sparse_names:
-            new_tables["user_id"], new_opt_sparse["user_id"] = sparse_adam_update(
-                state.tables["user_id"],
-                state.opt_sparse["user_id"],
-                u_idx,
-                grads["sparse_rows"]["user_id"],
-                lr=sparse_lr, b1=b1, b2=b2, use_pallas=tscfg.use_pallas,
-            )
-        if "item_id" in sparse_names:
-            new_tables["item_id"], new_opt_sparse["item_id"] = sparse_adam_update(
-                state.tables["item_id"],
-                state.opt_sparse["item_id"],
-                item_idx_all,
-                grads["sparse_rows"]["item_id"],
+        for name in sparse_names:
+            new_tables[name], new_opt_sparse[name] = sparse_adam_update(
+                state.tables[name],
+                state.opt_sparse[name],
+                row_idx[name],
+                grads["sparse_rows"][name],
                 lr=sparse_lr, b1=b1, b2=b2, use_pallas=tscfg.use_pallas,
             )
 
