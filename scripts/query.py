@@ -31,16 +31,19 @@ def main() -> None:
         "--backend", choices=["auto", "device", "native", "numpy"], default="auto"
     )
     parser.add_argument(
-        "--score-dtype", choices=["float32", "bfloat16"], default="float32",
-        help="device-backend scoring precision; bfloat16 is the ~1.5x "
-        "approximate fast path (ranking exact w.r.t. bf16 scores)",
+        "--score-dtype", choices=["float32", "bfloat16"], default=None,
+        help="override the device-backend scoring precision persisted in "
+        "the index header (the training pipeline's recall gate sets it); "
+        "bfloat16 is the ~1.5x approximate fast path (ranking exact "
+        "w.r.t. bf16 scores)",
     )
     args = parser.parse_args()
 
     from ttamm_tpu.serve import FlatIndex
 
     index = FlatIndex.load(args.index)
-    index.score_dtype = args.score_dtype
+    if args.score_dtype is not None:
+        index.score_dtype = args.score_dtype
     queries = np.load(args.queries)
     backend = args.backend
     scores, indices = index.search(queries, args.k, backend=backend)

@@ -27,9 +27,11 @@ def main() -> None:
         "--backend", choices=["auto", "device", "native", "numpy"], default="auto"
     )
     parser.add_argument(
-        "--score-dtype", choices=["float32", "bfloat16"], default="float32",
-        help="device-backend scoring precision; bfloat16 is the ~1.5x "
-        "approximate fast path (ranking exact w.r.t. bf16 scores)",
+        "--score-dtype", choices=["float32", "bfloat16"], default=None,
+        help="override the device-backend scoring precision persisted in "
+        "the index header (the training pipeline's recall gate sets it); "
+        "bfloat16 is the ~1.5x approximate fast path (ranking exact "
+        "w.r.t. bf16 scores)",
     )
     parser.add_argument(
         "--http", type=int, default=None, metavar="PORT",
@@ -41,7 +43,8 @@ def main() -> None:
     from ttamm_tpu.serve.service import RetrievalService
 
     service = RetrievalService.from_artifacts(args.artifacts)
-    service.index.score_dtype = args.score_dtype
+    if args.score_dtype is not None:
+        service.index.score_dtype = args.score_dtype
     if args.http is not None:
         from ttamm_tpu.serve.http_server import serve_forever
 

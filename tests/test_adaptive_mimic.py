@@ -99,7 +99,7 @@ def _tiny_cfg(mimic_sparse: bool):
     return parse_model_config(raw, user_feature_dim=8, item_feature_dim=8)
 
 
-def _tiny_setup(mimic_sparse: bool, weight_decay: float):
+def _tiny_setup(mimic_sparse: bool, weight_decay: float, clip: float | None = None):
     from ttamm_tpu.train import TrainStepConfig, create_train_state, make_train_step
     from ttamm_tpu.train.optim import parse_dense_opt_config
     from ttamm_tpu.train.state import BatchData
@@ -127,6 +127,7 @@ def _tiny_setup(mimic_sparse: bool, weight_decay: float):
         negatives_per_positive=2,
         lambda_mimic_user=0.15,
         lambda_mimic_item=0.15,
+        gradient_clip_norm=clip,
         opt=parse_dense_opt_config(
             {
                 "optimizer": "adamw",
@@ -178,3 +179,25 @@ def test_mimic_sparse_first_step_matches_dense_without_decay():
         dense_tbl = np.asarray(new_d.tables[name])
         sparse_tbl = np.asarray(new_s.tables[name])[: dense_tbl.shape[0]]
         np.testing.assert_array_equal(dense_tbl, sparse_tbl)
+
+
+def test_mimic_sparse_matches_dense_under_clip_with_duplicates():
+    # The global clip norm coalesces sparse row grads (duplicate batch
+    # indices contribute ||g1+g2||^2, exactly what the dense scatter-add
+    # path feeds the norm), so step 1 matches across modes even with
+    # clipping on — the batch below repeats user 1 on purpose. Tolerance:
+    # the norm's accumulation ORDER differs (segment-sum vs table reduce),
+    # so the clip scale can differ by an ulp. (The reference cannot run
+    # this at all: torch's clip_grad_norm_ raises NotImplementedError on
+    # sparse gradients.)
+    _, state_d, data, _, step_d = _tiny_setup(False, weight_decay=0.0, clip=0.05)
+    _, state_s, _, _, step_s = _tiny_setup(True, weight_decay=0.0, clip=0.05)
+
+    u = jnp.asarray([1, 2, 3, 1], jnp.int32)
+    p = jnp.asarray([5, 6, 7, 8], jnp.int32)
+    new_d, _ = step_d(state_d, data, u, p, jax.random.key(1))
+    new_s, _ = step_s(state_s, data, u, p, jax.random.key(1))
+    for name in ("user_aug", "item_aug"):
+        dense_tbl = np.asarray(new_d.tables[name])
+        sparse_tbl = np.asarray(new_s.tables[name])[: dense_tbl.shape[0]]
+        np.testing.assert_allclose(dense_tbl, sparse_tbl, rtol=1e-6, atol=1e-8)

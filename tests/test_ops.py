@@ -338,3 +338,35 @@ def test_mips_topk_bfloat16_mask_matches_dense_reference():
     assert np.array_equal(np.take_along_axis(dense, ib, axis=1), sb)
     for b in range(8):
         assert not set(ib[b].tolist()) & set(mask[b].tolist())
+
+
+def test_mips_topk_bfloat16_chunked_matches_group_exact():
+    # The chunked algorithm (auto choice beyond the score-slab budget)
+    # must honor the bf16 contract too: chunk scores are bf16-rounded
+    # before the merge, so both algorithms rank by the same values.
+    rng = np.random.default_rng(33)
+    items = rng.normal(0, 1, (300, 16)).astype(np.float32)
+    queries = rng.normal(0, 1, (6, 16)).astype(np.float32)
+    mask = rng.integers(0, 300, (6, 4)).astype(np.int32)
+    sg, ig = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=7,
+        mask_rows=jnp.asarray(mask), score_dtype="bfloat16",
+        algorithm="group_exact",
+    )
+    sc, ic = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=7,
+        mask_rows=jnp.asarray(mask), score_dtype="bfloat16",
+        algorithm="chunked", chunk_size=64,
+    )
+    np.testing.assert_array_equal(np.asarray(sg), np.asarray(sc))
+    # indices may differ only among equal scores; verify score-consistency
+    slab = np.array(
+        jnp.dot(
+            jnp.asarray(queries).astype(jnp.bfloat16),
+            jnp.asarray(items).astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(
+        np.take_along_axis(slab, np.asarray(ic), axis=1), np.asarray(sc)
+    )

@@ -177,12 +177,26 @@ def mips_topk(
 
     items_t = item_embeddings.T.reshape(dim, num_chunks, chunk).transpose(1, 0, 2)
 
+    # bf16 mode keeps the chunk scores bf16-rounded (one MXU pass, then
+    # widened for the merge) so ranking semantics match the group_exact
+    # path — "exact w.r.t. the bf16 scores" — on corpora big enough to
+    # route here (auto picks chunked beyond ~3M items). The barrier is
+    # load-bearing: XLA otherwise folds convert_f32(dot->bf16) into an
+    # fp32-accumulating dot, silently skipping the rounding (measured).
+    bf16_chunks = queries.dtype == jnp.bfloat16
+
     def scan_body(carry, inputs):
         run_scores, run_idx = carry
         chunk_block, chunk_start = inputs
-        scores = jnp.dot(
-            queries, chunk_block, preferred_element_type=jnp.float32
-        )  # [B, chunk]
+        if bf16_chunks:
+            scores = jnp.dot(
+                queries, chunk_block, preferred_element_type=jnp.bfloat16
+            )
+            scores = jax.lax.optimization_barrier(scores).astype(jnp.float32)
+        else:
+            scores = jnp.dot(
+                queries, chunk_block, preferred_element_type=jnp.float32
+            )  # [B, chunk]
         ids = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (batch, chunk), 1)
         valid = ids < num_items
         if mask_rows is not None:

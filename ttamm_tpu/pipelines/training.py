@@ -1194,11 +1194,25 @@ def run_single_experiment(
         # gating; eval metrics themselves are always float32.
         serving_cfg = dict(config.get("serving", {}) or {})
         requested_dtype = str(serving_cfg.get("score_dtype", "auto")).lower()
+        if requested_dtype in {"fp32", "float32"}:
+            requested_dtype = "float32"
+        elif requested_dtype in {"bf16", "bfloat16"}:
+            requested_dtype = "bfloat16"
+        elif requested_dtype != "auto":
+            raise ValueError(
+                f"Unsupported serving.score_dtype: {requested_dtype!r} "
+                "(expected auto, float32, or bfloat16)"
+            )
         gate_eps = float(serving_cfg.get("bf16_recall_gate", 0.002))
         serving_score_dtype = "float32"
         if requested_dtype in ("float32", "bfloat16"):
             serving_score_dtype = requested_dtype
-        elif requested_dtype == "auto" and val_eval_plan is not None:
+        elif val_eval_plan is None:
+            logger.info(
+                "Serving precision gate skipped (no validation eval plan);"
+                " exporting float32."
+            )
+        else:
             bf16_metrics = evaluate_retrieval_metrics(
                 state,
                 data,

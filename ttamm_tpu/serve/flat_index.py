@@ -167,10 +167,15 @@ class FlatIndex:
             if version != VERSION:
                 raise ValueError(f"Unsupported TTFLAT version {version}.")
             data = np.frombuffer(handle.read(count * dim * 4), dtype=np.float32)
+        if score_flag not in _FLAG_SCORES:
+            raise ValueError(
+                f"{path}: unknown score_dtype flag {score_flag} "
+                "(index written by a newer version?)"
+            )
         return cls(
             embeddings=data.reshape(count, dim).copy(),
             normalized=bool(normalized),
-            score_dtype=_FLAG_SCORES.get(score_flag, "float32"),
+            score_dtype=_FLAG_SCORES[score_flag],
         )
 
 

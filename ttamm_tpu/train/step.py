@@ -314,10 +314,39 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
         del grads["table_rows"]
 
         if tscfg.gradient_clip_norm is not None and tscfg.gradient_clip_norm > 0:
-            # Global-norm clip over ALL grads (dense + sparse rows), matching
+            # Global-norm clip over ALL grads (dense + sparse rows), as in
             # clip_grad_norm_(model.parameters()) (ref training.py:824-825).
-            leaves = jax.tree.leaves(grads)
-            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+            # Sparse row grads are COALESCED before the norm so duplicate
+            # batch indices contribute ||g1+g2||^2 (the true gradient's
+            # norm), matching what the dense scatter-add path feeds the
+            # norm. This exceeds the reference: torch's clip_grad_norm_
+            # raises NotImplementedError on sparse grads (verified against
+            # torch 2.x aten::linalg_vector_norm/SparseCPU), so the
+            # reference can't clip sparse-embedding runs at all. The
+            # post-clip scale distributes over the coalesce.
+            def coalesced_sq_norm(idx, rows):
+                order = jnp.argsort(idx.astype(jnp.int32))
+                sorted_idx = idx.astype(jnp.int32)[order]
+                prev = jnp.concatenate(
+                    [jnp.array([-1], sorted_idx.dtype), sorted_idx[:-1]]
+                )
+                seg = jnp.cumsum((sorted_idx != prev).astype(jnp.int32)) - 1
+                summed = jax.ops.segment_sum(
+                    rows[order], seg, num_segments=rows.shape[0]
+                )
+                return jnp.sum(jnp.square(summed))
+
+            sq = sum(
+                jnp.sum(jnp.square(g))
+                for g in jax.tree.leaves(
+                    {"dense": grads["dense"], "tables": grads["tables"]}
+                )
+            )
+            sq += sum(
+                coalesced_sq_norm(row_idx[n], grads["sparse_rows"][n])
+                for n in sparse_names
+            )
+            gnorm = jnp.sqrt(sq)
             scale = jnp.minimum(1.0, tscfg.gradient_clip_norm / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
 
