@@ -26,14 +26,26 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
-// Queries per tile — the corpus-traffic amortization factor. 32 f32 =
-// four 8-lane AVX2 accumulator registers per set; with two independent
-// sets (depth unroll) the working accumulators fit the register file.
-// Measured on the 2-CPU dev host at N=100k, D=128: tile 32 + unroll 2
-// beats tile 16 + unroll 4 by ~25-30% (2.0-2.4k vs 1.6-1.8k q/s).
+// Queries per tile — the corpus-traffic amortization factor.
+// AVX-512 build: 64 queries = 4 zmm columns; with 4 item rows blocked the
+// 16 zmm accumulators fill the register file and the corpus is read once
+// per 64 queries. Measured on the 2-core AVX-512 dev host at N=100k,
+// D=128, B=1024, k=20: scalar 2.8k -> zmm-kernel tile 32 6.0k -> tile 64
+// 6.8k q/s (tile 128 is slower AND would overflow the 64-bit selection
+// mask — static_assert below). Non-AVX-512 fallback: tile 32 + depth-4
+// unroll, the measured best for autovectorized scalar accumulators.
+#if defined(__AVX512F__)
+constexpr int32_t kQueryTile = 64;  // 4 zmm columns; see kernel below
+static_assert(kQueryTile <= 64, "selection mask is uint64_t (one bit/lane)");
+#else
 constexpr int32_t kQueryTile = 32;
+#endif
 // Items per pass: bounds the [kBlock, kQueryTile] score buffer (64 KB).
 constexpr int64_t kBlock = 1024;
 
@@ -85,6 +97,58 @@ void search_query_tiles(const float* items, int64_t n, int32_t d,
       // accumulator sets over a depth-4 unroll break the FMA latency
       // chain without spilling the register file at this tile width.
       if (qcount > 4) {
+#if defined(__AVX512F__)
+        // Register blocking: kRows item rows x kCols zmm query columns
+        // (kRows*kCols accumulators <= 16 zmm). Per depth element the
+        // query columns load once and each row adds one broadcast +
+        // kCols FMAs, so the loop runs at FMA throughput; the wider
+        // 64-query tile also halves corpus traffic per query vs 32.
+        constexpr int32_t kCols = kQueryTile / 16;
+        constexpr int32_t kRows = 16 / kCols;
+        const int64_t countR = count & ~int64_t(kRows - 1);
+        for (int64_t i = 0; i < countR; i += kRows) {
+          const float* r = items + (start + i) * d;
+          __m512 acc[kRows][kCols];
+          for (int32_t a = 0; a < kRows; ++a)
+            for (int32_t c = 0; c < kCols; ++c)
+              acc[a][c] = _mm512_setzero_ps();
+          for (int32_t j = 0; j < d; ++j) {
+            const float* qc =
+                qT.data() + static_cast<size_t>(j) * kQueryTile;
+            __m512 q[kCols];
+            for (int32_t c = 0; c < kCols; ++c)
+              q[c] = _mm512_loadu_ps(qc + 16 * c);
+            for (int32_t a = 0; a < kRows; ++a) {
+              const __m512 rb = _mm512_set1_ps(r[a * d + j]);
+              for (int32_t c = 0; c < kCols; ++c)
+                acc[a][c] = _mm512_fmadd_ps(rb, q[c], acc[a][c]);
+            }
+          }
+          float* out =
+              scores_tile.data() + static_cast<size_t>(i) * kQueryTile;
+          for (int32_t a = 0; a < kRows; ++a)
+            for (int32_t c = 0; c < kCols; ++c)
+              _mm512_storeu_ps(out + a * kQueryTile + 16 * c, acc[a][c]);
+        }
+        // Remainder rows: one row at a time, kCols accumulators.
+        for (int64_t i = countR; i < count; ++i) {
+          const float* row = items + (start + i) * d;
+          __m512 acc1r[kCols];
+          for (int32_t c = 0; c < kCols; ++c) acc1r[c] = _mm512_setzero_ps();
+          for (int32_t j = 0; j < d; ++j) {
+            const float* qc =
+                qT.data() + static_cast<size_t>(j) * kQueryTile;
+            const __m512 rb = _mm512_set1_ps(row[j]);
+            for (int32_t c = 0; c < kCols; ++c)
+              acc1r[c] = _mm512_fmadd_ps(
+                  rb, _mm512_loadu_ps(qc + 16 * c), acc1r[c]);
+          }
+          float* out =
+              scores_tile.data() + static_cast<size_t>(i) * kQueryTile;
+          for (int32_t c = 0; c < kCols; ++c)
+            _mm512_storeu_ps(out + 16 * c, acc1r[c]);
+        }
+#else
         const int32_t d4 = d & ~3;
         for (int64_t i = 0; i < count; ++i) {
           const float* row = items + (start + i) * d;
@@ -112,6 +176,7 @@ void search_query_tiles(const float* items, int64_t n, int32_t d,
           for (int32_t t = 0; t < kQueryTile; ++t)
             out[t] = acc0[t] + acc1[t];
         }
+#endif
       } else {
         // Narrow tile (tail or tiny batch): per-query dot products avoid
         // the wide kernel's wasted zero lanes.
@@ -128,6 +193,57 @@ void search_query_tiles(const float* items, int64_t n, int32_t d,
         }
       }
 
+#if defined(__AVX512F__)
+      // Selection: one masked compare of each item's 32 contiguous scores
+      // against the per-query weakest-of-top-k thresholds replaces 32
+      // scalar compares; after warmup almost every item fails for every
+      // query (k/N odds), so the heap work collapses to the rare passing
+      // lanes. Thresholds reload only when a heap actually changes.
+      {
+        constexpr int32_t kCols = kQueryTile / 16;
+        alignas(64) float thr[kQueryTile];
+        for (int32_t t = 0; t < kQueryTile; ++t) {
+          thr[t] = (t < qcount && heap_sizes[t] >= k)
+                       ? heaps[static_cast<size_t>(t) * (k + 1)].score
+                       : -3.4e38f;
+          if (t >= qcount) thr[t] = 3.4e38f;  // pad lanes never pass
+        }
+        __m512 th[kCols];
+        for (int32_t c = 0; c < kCols; ++c)
+          th[c] = _mm512_load_ps(thr + 16 * c);
+        for (int64_t i = 0; i < count; ++i) {
+          const float* s =
+              scores_tile.data() + static_cast<size_t>(i) * kQueryTile;
+          uint64_t mask = 0;
+          for (int32_t c = 0; c < kCols; ++c)
+            mask |= static_cast<uint64_t>(_mm512_cmp_ps_mask(
+                        _mm512_loadu_ps(s + 16 * c), th[c], _CMP_GT_OQ))
+                    << (16 * c);
+          if (mask == 0) continue;
+          do {
+            const int32_t t = __builtin_ctzll(mask);
+            mask &= mask - 1;
+            HeapEntry* heap =
+                heaps.data() + static_cast<size_t>(t) * (k + 1);
+            int32_t& size = heap_sizes[t];
+            if (size < k) {
+              heap[size++] = {s[t], start + i};
+              std::push_heap(heap, heap + size, heap_less);
+              if (size == k) {
+                thr[t] = heap[0].score;
+                th[t / 16] = _mm512_load_ps(thr + 16 * (t / 16));
+              }
+            } else {
+              std::pop_heap(heap, heap + size, heap_less);
+              heap[size - 1] = {s[t], start + i};
+              std::push_heap(heap, heap + size, heap_less);
+              thr[t] = heap[0].score;
+              th[t / 16] = _mm512_load_ps(thr + 16 * (t / 16));
+            }
+          } while (mask != 0);
+        }
+      }
+#else
       for (int32_t t = 0; t < qcount; ++t) {
         HeapEntry* heap = heaps.data() + static_cast<size_t>(t) * (k + 1);
         int32_t& size = heap_sizes[t];
@@ -144,6 +260,7 @@ void search_query_tiles(const float* items, int64_t n, int32_t d,
           }
         }
       }
+#endif
     }
 
     // Emit in descending score order (sort_heap with a ">"-comparator
