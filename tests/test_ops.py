@@ -112,6 +112,86 @@ def test_sparse_adam_second_step_uses_moments():
     assert int(s2.step) == 2
 
 
+def test_sparse_adam_packed_matches_separate_bit_exact():
+    """The [rows, 2D] packed-moment layout is bit-identical to the
+    separate-m/v sorted path over multiple steps with duplicate indices."""
+    rng = np.random.default_rng(7)
+    rows, dim, n = 64, 8, 24
+    table0 = jnp.asarray(rng.normal(0, 0.1, (rows, dim)).astype(np.float32))
+    sep = init_sparse_adam(table0)
+    packed = init_sparse_adam(table0, packed=True)
+    assert packed.mv.shape == (rows, 2 * dim)
+
+    t_sep, t_pack = table0, table0
+    for step in range(4):
+        idx = jnp.asarray(
+            rng.integers(0, rows - 1, n).astype(np.int32)
+        )  # duplicates guaranteed at n=24 over 63 rows across steps
+        g = jnp.asarray(rng.normal(0, 1, (n, dim)).astype(np.float32))
+        t_sep, sep = sparse_adam_update(t_sep, sep, idx, g, lr=0.05)
+        t_pack, packed = sparse_adam_update(t_pack, packed, idx, g, lr=0.05)
+
+    np.testing.assert_array_equal(np.asarray(t_sep), np.asarray(t_pack))
+    np.testing.assert_array_equal(np.asarray(sep.m), np.asarray(packed.m))
+    np.testing.assert_array_equal(np.asarray(sep.v), np.asarray(packed.v))
+    assert int(sep.step) == int(packed.step) == 4
+
+
+def test_packed_moments_state_roundtrip_and_views():
+    """create_train_state(packed_moments=True) produces packed sparse
+    states whose m/v views match a fresh separate-layout state, and the
+    jitted train step runs on it."""
+    from ttamm_tpu.models import parse_model_config
+    from ttamm_tpu.train import TrainStepConfig, create_train_state, make_train_step
+    from ttamm_tpu.train.optim import parse_dense_opt_config
+    from ttamm_tpu.train.state import BatchData
+    from ttamm_tpu.ops import SparseAdamStatePacked
+
+    cfg = parse_model_config(
+        {
+            "embedding_dim": 8,
+            "user_tower": {"embedding": {"sparse": True}},
+            "item_tower": {"embedding": {"sparse": True}},
+            "adaptive_mimic": {"enabled": True},
+        },
+        user_feature_dim=0,
+        item_feature_dim=0,
+    )
+    key = jax.random.key(0)
+    st_sep = create_train_state(key, cfg, num_users=16, num_items=12)
+    st_pack = create_train_state(
+        key, cfg, num_users=16, num_items=12, packed_moments=True
+    )
+    for name, s in st_pack.opt_sparse.items():
+        assert isinstance(s, SparseAdamStatePacked)
+        np.testing.assert_array_equal(
+            np.asarray(s.m), np.asarray(st_sep.opt_sparse[name].m)
+        )
+
+    tscfg = TrainStepConfig(
+        num_items=12,
+        negatives_per_positive=2,
+        opt=parse_dense_opt_config({"optimizer": "adamw", "learning_rate": 1e-3}),
+    )
+    data = BatchData(
+        user_features=None,
+        item_features=None,
+        positive_rows=jnp.zeros((16, 2), jnp.int32),
+        category_ids=None,
+    )
+    step = make_train_step(cfg, tscfg)
+    u = jnp.arange(8, dtype=jnp.int32)
+    p = jnp.arange(8, dtype=jnp.int32) % 12
+    s1, m1 = step(st_sep, data, u, p, jax.random.key(1))
+    s2, m2 = step(st_pack, data, u, p, jax.random.key(1))
+    np.testing.assert_array_equal(
+        np.asarray(s1.tables["user_id"]), np.asarray(s2.tables["user_id"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"])
+    )
+
+
 def test_category_alignment_zero_when_single_category():
     embs = jnp.asarray(np.random.default_rng(0).normal(0, 1, (10, 4)), jnp.float32)
     cats = jnp.zeros((10,), jnp.int32)

@@ -44,7 +44,38 @@ class SparseAdamState(NamedTuple):
     step: jax.Array  # scalar int32 global step
 
 
-def init_sparse_adam(table: jax.Array) -> SparseAdamState:
+class SparseAdamStatePacked(NamedTuple):
+    """Moments packed lane-concatenated: ``mv[:, :D] = m``, ``mv[:, D:] = v``.
+
+    One ``[n, 2D]`` row gather/scatter per step instead of two — row
+    gathers are descriptor-rate bound (~49 ns/row on v5e regardless of row
+    bytes), so halving the descriptor count halves the moment-gather cost.
+    The lane split at D (a vreg boundary for D a multiple of 128) is free,
+    unlike the ``[rows, 2, D]`` sublane packing that lost to relayouts.
+    Bit-identical to the separate layout (same op order per element).
+    """
+
+    mv: jax.Array  # [rows, 2*dim]
+    step: jax.Array  # scalar int32 global step
+
+    @property
+    def m(self) -> jax.Array:
+        return self.mv[:, : self.mv.shape[1] // 2]
+
+    @property
+    def v(self) -> jax.Array:
+        return self.mv[:, self.mv.shape[1] // 2 :]
+
+
+def init_sparse_adam(
+    table: jax.Array, *, packed: bool = False
+) -> SparseAdamState | SparseAdamStatePacked:
+    if packed:
+        rows, dim = table.shape
+        return SparseAdamStatePacked(
+            mv=jnp.zeros((rows, 2 * dim), table.dtype),
+            step=jnp.zeros((), jnp.int32),
+        )
     return SparseAdamState(
         m=jnp.zeros_like(table),
         v=jnp.zeros_like(table),
@@ -104,6 +135,10 @@ def sparse_adam_update(
     kernels (``ops/pallas/rows.py``) — faster than XLA's scatter lowering
     on TPU; leave False on CPU.
     """
+    if isinstance(state, SparseAdamStatePacked):
+        return sparse_adam_update_packed(
+            table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps
+        )
     if not use_pallas:
         # Default: the sorted scatter-ADD formulation — measured 2x faster
         # than scratch-routed scatter-set on v5e (XLA's sorted fast path).
@@ -211,6 +246,58 @@ def sparse_adam_update_sorted(
         jnp.where(head, v_new - v_rows, 0.0), indices_are_sorted=hint
     )
     return new_table, SparseAdamState(m=new_m, v=new_v, step=step)
+
+
+def sparse_adam_update_packed(
+    table: jax.Array,
+    state: SparseAdamStatePacked,
+    indices: jax.Array,
+    row_grads: jax.Array,
+    *,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> tuple[jax.Array, SparseAdamStatePacked]:
+    """Sorted scatter-ADD SparseAdam step over the packed ``[rows, 2D]``
+    moment layout — bit-identical to :func:`sparse_adam_update_sorted`,
+    with one moment gather + one moment scatter instead of two of each.
+    """
+    step = state.step + 1
+    n = indices.shape[0]
+    dim = table.shape[1]
+
+    order = jnp.argsort(indices.astype(jnp.int32))
+    sorted_idx = indices.astype(jnp.int32)[order]
+    sorted_grads = row_grads[order]
+
+    prev = jnp.concatenate([jnp.array([-1], sorted_idx.dtype), sorted_idx[:-1]])
+    is_head = sorted_idx != prev
+    segment_ids = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(sorted_grads, segment_ids, num_segments=n)
+    grads = summed[segment_ids]
+
+    mv_rows = state.mv[sorted_idx]  # ONE [n, 2D] gather
+    m_rows = mv_rows[:, :dim]
+    v_rows = mv_rows[:, dim:]
+
+    m_new = b1 * m_rows + (1.0 - b1) * grads
+    v_new = b2 * v_rows + (1.0 - b2) * jnp.square(grads)
+    t = step.astype(jnp.float32)
+    m_hat = m_new / (1.0 - jnp.power(b1, t))
+    v_hat = v_new / (1.0 - jnp.power(b2, t))
+    delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+    head = is_head[:, None]
+    hint = table.shape[0] <= SORTED_SCATTER_MAX_ROWS
+    new_table = table.at[sorted_idx].add(
+        jnp.where(head, -delta, 0.0), indices_are_sorted=hint
+    )
+    mv_upd = jnp.concatenate([m_new - m_rows, v_new - v_rows], axis=1)
+    new_mv = state.mv.at[sorted_idx].add(
+        jnp.where(head, mv_upd, 0.0), indices_are_sorted=hint
+    )
+    return new_table, SparseAdamStatePacked(mv=new_mv, step=step)
 
 
 def _pick_block(n: int) -> int | None:

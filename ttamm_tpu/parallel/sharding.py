@@ -30,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.optim import DenseOptState
 from ..train.state import BatchData, TrainState
-from ..ops.sparse_adam import SparseAdamState
 from .mesh import DATA_AXIS, MODEL_AXIS, round_up
 
 
@@ -104,9 +103,11 @@ def state_shardings(
         v=_opt_dense_target_sharding(state.opt_dense.v),
         step=rep,
     )
+    # Works for both moment layouts (SparseAdamState / ...Packed): every
+    # [rows, *] moment array is row-sharded, the step scalar replicated.
     opt_sparse_s = {
-        name: SparseAdamState(m=row, v=row, step=rep)
-        for name in state.opt_sparse
+        name: jax.tree.map(lambda leaf: row if leaf.ndim == 2 else rep, s)
+        for name, s in state.opt_sparse.items()
     }
     return TrainState(
         tables=tables_s,
@@ -154,10 +155,13 @@ def pad_state_rows(state: TrainState, model_parallel: int) -> TrainState:
 
     new_tables = pad_tables(state.tables)
     new_opt_sparse = {
-        name: SparseAdamState(
-            m=_pad_rows_to(s.m, round_up(s.m.shape[0], model_parallel)),
-            v=_pad_rows_to(s.v, round_up(s.v.shape[0], model_parallel)),
-            step=s.step,
+        name: jax.tree.map(
+            lambda leaf: (
+                _pad_rows_to(leaf, round_up(leaf.shape[0], model_parallel))
+                if getattr(leaf, "ndim", 0) == 2
+                else leaf
+            ),
+            s,
         )
         for name, s in state.opt_sparse.items()
     }

@@ -498,7 +498,8 @@ def run_single_experiment(
 
     # -------------------------------------------------------------- model/opt
     state = create_train_state(
-        root_key, model_cfg, num_users=num_users, num_items=num_items
+        root_key, model_cfg, num_users=num_users, num_items=num_items,
+        packed_moments=bool(training_config.get("packed_moments", False)),
     )
 
     # Mesh placement (config `mesh:`; 1x1 = single device, no-op). With the

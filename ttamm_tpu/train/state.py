@@ -60,7 +60,13 @@ def create_train_state(
     num_users: int,
     num_items: int,
     dtype=jnp.float32,
+    packed_moments: bool = False,
 ) -> TrainState:
+    """``packed_moments=True`` stores each sparse table's Adam moments as
+    one lane-concatenated ``[rows, 2D]`` array (``SparseAdamStatePacked``)
+    — bit-identical updates with half the moment gather/scatter descriptors
+    per step (config ``training.packed_moments``).
+    """
     tables, dense = init_model(
         key, cfg, num_users=num_users, num_items=num_items, dtype=dtype
     )
@@ -69,7 +75,8 @@ def create_train_state(
         "tables": {name: tables[name] for name in dense_table_names(cfg)},
     }
     opt_sparse = {
-        name: init_sparse_adam(tables[name]) for name in sparse_table_names(cfg)
+        name: init_sparse_adam(tables[name], packed=packed_moments)
+        for name in sparse_table_names(cfg)
     }
     return TrainState(
         tables=tables,
