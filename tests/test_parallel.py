@@ -105,6 +105,33 @@ def test_sharded_step_matches_single_device():
     assert np.allclose(dense_a, dense_b, atol=1e-5)
 
 
+def test_sharded_step_packed_moments_matches_single_device():
+    """Packed [rows, 2D] sparse-Adam moments shard/pad/run identically."""
+    cfg, _, data, tscfg = _setup()
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=U, num_items=I, packed_moments=True
+    )
+    step = make_train_step(cfg, tscfg)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(42)
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = place_state(mesh, pad_state_rows(state, 2))
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    mv = np.asarray(ref_state.opt_sparse["user_id"].mv)
+    smv = np.asarray(new_state.opt_sparse["user_id"].mv)[: mv.shape[0]]
+    assert np.allclose(mv, smv, atol=1e-6)
+
+
 def test_sharded_step_alltoall_exchange_matches_single_device():
     """embedding_exchange='alltoall' (the explicit bucketed exchange) must
     produce the same numbers as the local step."""
