@@ -117,8 +117,15 @@ def main() -> None:
     n_devices = len(jax.devices())
     mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=1))
 
+    # BENCH_MIMIC_SPARSE=1 routes the mimic tables through sparse-row Adam
+    # (`adaptive_mimic.sparse`, quality-neutral — RESULTS.md) instead of the
+    # reference-parity dense AdamW.
+    mimic_sparse = os.environ.get("BENCH_MIMIC_SPARSE", "0") == "1"
+    cfg_dict = _model_cfg_dict(dim)
+    if mimic_sparse:
+        cfg_dict["adaptive_mimic"]["sparse"] = True
     cfg = parse_model_config(
-        _model_cfg_dict(dim), user_feature_dim=feat, item_feature_dim=feat
+        cfg_dict, user_feature_dim=feat, item_feature_dim=feat
     )
     state = create_train_state(
         jax.random.key(0), cfg, num_users=num_users, num_items=num_items
@@ -267,6 +274,7 @@ def main() -> None:
             "dim": dim,
             "platform": jax.default_backend(),
             "devices": n_devices,
+            "mimic_optimizer": "sparse_row_adam" if mimic_sparse else "adamw",
         },
     }
     print(json.dumps(result))
