@@ -162,6 +162,41 @@ def test_async_checkpointer_surfaces_errors(tmp_path):
         ckpt.wait()
 
 
+@pytest.mark.parametrize("save_packed", [False, True])
+def test_checkpoint_portable_across_moment_layouts(tmp_path, save_packed):
+    """training.packed_moments may be toggled between save and resume: the
+    packed [rows, 2D] layout is a pure lane relayout of separate m/v, and
+    load_checkpoint converts bit-exactly in either direction."""
+    cfg = _cfg()
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=5, num_items=6,
+        packed_moments=save_packed,
+    )
+    # Make the moments non-trivial so the conversion is actually checked.
+    state = state._replace(
+        opt_sparse={
+            name: jax.tree.map(
+                lambda a: a + np.float32(1.5) if a.ndim == 2 else a, st
+            )
+            for name, st in state.opt_sparse.items()
+        }
+    )
+    path = save_checkpoint(
+        tmp_path, state, experiment_name="exp", epoch=1,
+        metric_name="loss", metric_value=0.5,
+    )
+    template = create_train_state(
+        jax.random.key(1), cfg, num_users=5, num_items=6,
+        packed_moments=not save_packed,
+    )
+    restored, _ = load_checkpoint(path, template)
+    for name, st in restored.opt_sparse.items():
+        src = state.opt_sparse[name]
+        np.testing.assert_array_equal(np.asarray(st.m), np.asarray(src.m))
+        np.testing.assert_array_equal(np.asarray(st.v), np.asarray(src.v))
+        np.testing.assert_array_equal(np.asarray(st.step), np.asarray(src.step))
+
+
 def test_filename_template_sanitises_metric():
     name = checkpoint_filename(
         None, experiment_name="e", metric_name="ndcg@5/x", metric_value=None, epoch=2

@@ -47,11 +47,14 @@ class SparseAdamState(NamedTuple):
 class SparseAdamStatePacked(NamedTuple):
     """Moments packed lane-concatenated: ``mv[:, :D] = m``, ``mv[:, D:] = v``.
 
-    One ``[n, 2D]`` row gather/scatter per step instead of two — row
-    gathers are descriptor-rate bound (~49 ns/row on v5e regardless of row
-    bytes), so halving the descriptor count halves the moment-gather cost.
-    The lane split at D (a vreg boundary for D a multiple of 128) is free,
-    unlike the ``[rows, 2, D]`` sublane packing that lost to relayouts.
+    One ``[n, 2D]`` row gather/scatter per step instead of two. The
+    *hypothesis* was that halving the descriptor count (row gathers are
+    ~49 ns/row descriptor-rate bound on v5e) would halve the moment-gather
+    cost — measured NEUTRAL on v5e (RESULTS.md "packed [rows, 2D]"):
+    XLA already overlaps the two independent moment gathers. Kept as an
+    option for backends whose gather engines do not overlap. The lane
+    split at D (a vreg boundary for D a multiple of 128) is free, unlike
+    the ``[rows, 2, D]`` sublane packing that lost to relayouts.
     Bit-identical to the separate layout (same op order per element).
     """
 
@@ -134,8 +137,21 @@ def sparse_adam_update(
     ``use_pallas`` routes the row gathers/scatters through the per-row DMA
     kernels (``ops/pallas/rows.py``) — faster than XLA's scatter lowering
     on TPU; leave False on CPU.
+
+    Precedence: a packed state (``training.packed_moments``) always takes
+    the XLA packed path — ``use_pallas`` is ignored for it (there is no
+    packed Pallas kernel). Setting both flags warns once.
     """
     if isinstance(state, SparseAdamStatePacked):
+        if use_pallas:
+            import warnings
+
+            warnings.warn(
+                "sparse_adam_update: use_pallas=True is ignored for the "
+                "packed moment layout (training.packed_moments); running "
+                "the XLA packed path.",
+                stacklevel=2,
+            )
         return sparse_adam_update_packed(
             table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps
         )

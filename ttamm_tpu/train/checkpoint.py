@@ -185,6 +185,31 @@ class AsyncCheckpointer:
             ) from self._errors[0]
 
 
+def _convert_moment_layout(key: str, blob: Any) -> np.ndarray | None:
+    """Bridge sparse-Adam moment layouts across checkpoint/template mismatch.
+
+    ``training.packed_moments`` changes the optimizer pytree leaves
+    (separate ``m``/``v`` vs lane-concatenated ``mv``); the conversion is a
+    pure relayout (``mv = [m | v]`` along lanes), so a checkpoint saved in
+    either layout restores into the other bit-exactly.
+    """
+    parts = key.rsplit("/", 1)
+    if len(parts) != 2:
+        return None
+    prefix, leaf_name = parts
+    if leaf_name == "mv":
+        m_key, v_key = f"{prefix}/m", f"{prefix}/v"
+        if m_key in blob and v_key in blob:
+            return np.concatenate([blob[m_key], blob[v_key]], axis=1)
+    elif leaf_name in ("m", "v"):
+        mv_key = f"{prefix}/mv"
+        if mv_key in blob:
+            mv = blob[mv_key]
+            half = mv.shape[1] // 2
+            return mv[:, :half] if leaf_name == "m" else mv[:, half:]
+    return None
+
+
 def load_checkpoint(
     path: Path | str, template_state: TrainState
 ) -> tuple[TrainState, dict[str, Any]]:
@@ -192,12 +217,19 @@ def load_checkpoint(
 
     ``template_state`` supplies the pytree structure (build it with
     ``create_train_state`` from the same config); leaf values are replaced
-    by the checkpoint's arrays.
+    by the checkpoint's arrays. Sparse-Adam moment layouts are converted
+    automatically, so ``training.packed_moments`` may be toggled between
+    save and resume (the packed layout is a pure lane relayout of the
+    separate one — see :func:`_convert_moment_layout`).
     """
     with np.load(path, allow_pickle=False) as blob:
         meta = json.loads(bytes(blob["__meta__"]).decode("utf-8"))
         flat_template = _flatten_with_keys(template_state)
-        missing = [k for k in flat_template if k not in blob]
+        missing = [
+            k
+            for k in flat_template
+            if k not in blob and _convert_moment_layout(k, blob) is None
+        ]
         if missing:
             raise ValueError(
                 f"Checkpoint {path} is missing {len(missing)} leaves "
@@ -212,7 +244,7 @@ def load_checkpoint(
                 str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
                 for p in pth
             )
-            arr = blob[key]
+            arr = blob[key] if key in blob else _convert_moment_layout(key, blob)
             if arr.shape != tuple(np.shape(leaf)):
                 raise ValueError(
                     f"Shape mismatch for '{key}': checkpoint {arr.shape} vs "
