@@ -654,8 +654,17 @@ def run_single_experiment(
     # epoch's device compute (set ``checkpointing.async_save: false`` for
     # strictly synchronous, reference-style saves).
     async_save = bool(checkpoint_cfg.get("async_save", True))
+    # 'auto' switches to the per-process sharded directory format exactly
+    # when the flat .npz pull would break: a multi-process mesh, where no
+    # single host can address the full row-sharded state.
+    sharded_raw = checkpoint_cfg.get("sharded", "auto")
+    sharded_ckpt = (
+        jax.process_count() > 1 if sharded_raw == "auto" else bool(sharded_raw)
+    )
     checkpointer = (
-        AsyncCheckpointer() if checkpoint_enabled and async_save else None
+        AsyncCheckpointer(sharded=sharded_ckpt)
+        if checkpoint_enabled and async_save
+        else None
     )
     best_checkpoint_path: Path | None = None
     last_checkpoint_path: Path | None = None
@@ -1018,6 +1027,17 @@ def run_single_experiment(
                 # worker only reads it, later train steps donate `state`.
                 snapshot = best_state if improved else _clone_state_device(state)
                 paths = checkpointer.submit(snapshot, checkpoint_jobs)
+            elif sharded_ckpt:
+                from ..train.sharded_checkpoint import (
+                    save_sharded_checkpoint,
+                    state_to_host_shards,
+                )
+
+                pieces = state_to_host_shards(state)
+                paths = [
+                    save_sharded_checkpoint(state=None, host_pieces=pieces, **job)
+                    for job in checkpoint_jobs
+                ]
             else:
                 host = state_to_host(state)
                 paths = [

@@ -1,4 +1,8 @@
 from .checkpoint import load_checkpoint, save_checkpoint
+from .sharded_checkpoint import (
+    load_sharded_checkpoint,
+    save_sharded_checkpoint,
+)
 from .optim import (
     DenseOptConfig,
     DenseOptState,
@@ -25,8 +29,10 @@ __all__ = [
     "encode_corpus",
     "init_dense_opt",
     "load_checkpoint",
+    "load_sharded_checkpoint",
     "make_eval_loss_step",
     "make_train_step",
     "parse_dense_opt_config",
     "save_checkpoint",
+    "save_sharded_checkpoint",
 ]

@@ -114,11 +114,18 @@ class AsyncCheckpointer:
 
     The reference has no analog (its ``torch.save`` at ``training.py:150-182``
     blocks the epoch loop); this is Parity+ alongside resume.
+
+    ``sharded=True`` switches every save to the multi-host format
+    (``sharded_checkpoint.py``): the worker pulls only this process's
+    addressable shards and each job writes a checkpoint *directory* —
+    required whenever the state lives on a multi-process mesh (the flat
+    ``.npz`` pull needs fully-addressable arrays).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, *, sharded: bool = False) -> None:
         self._last: threading.Thread | None = None
         self._errors: list[BaseException] = []
+        self._sharded = sharded
 
     def submit(self, state: Any, jobs: list[dict[str, Any]]) -> list[Path]:
         """Queue ``state`` (a device clone) for saving under each job spec.
@@ -157,13 +164,27 @@ class AsyncCheckpointer:
         prev = self._last
         errors = self._errors
 
+        sharded = self._sharded
+
         def _work() -> None:
             if prev is not None:
                 prev.join()
             try:
-                host = state_to_host(state)
-                for job in jobs:
-                    save_checkpoint(host_arrays=host, state=None, **job)
+                if sharded:
+                    from .sharded_checkpoint import (
+                        save_sharded_checkpoint,
+                        state_to_host_shards,
+                    )
+
+                    pieces = state_to_host_shards(state)
+                    for job in jobs:
+                        save_sharded_checkpoint(
+                            host_pieces=pieces, state=None, **job
+                        )
+                else:
+                    host = state_to_host(state)
+                    for job in jobs:
+                        save_checkpoint(host_arrays=host, state=None, **job)
             except BaseException as exc:  # surfaced by wait()
                 errors.append(exc)
 
@@ -217,11 +238,21 @@ def load_checkpoint(
 
     ``template_state`` supplies the pytree structure (build it with
     ``create_train_state`` from the same config); leaf values are replaced
-    by the checkpoint's arrays. Sparse-Adam moment layouts are converted
-    automatically, so ``training.packed_moments`` may be toggled between
-    save and resume (the packed layout is a pure lane relayout of the
-    separate one — see :func:`_convert_moment_layout`).
+    by the checkpoint's arrays, placed with the template leaf's sharding
+    (so resuming under a mesh restores the row-sharded layout directly).
+    Sparse-Adam moment layouts are converted automatically, so
+    ``training.packed_moments`` may be toggled between save and resume
+    (the packed layout is a pure lane relayout of the separate one — see
+    :func:`_convert_moment_layout`).
+
+    A directory path dispatches to the multi-host sharded format
+    (``sharded_checkpoint.py``).
     """
+    path = Path(path)
+    if path.is_dir():
+        from .sharded_checkpoint import load_sharded_checkpoint
+
+        return load_sharded_checkpoint(path, template_state)
     with np.load(path, allow_pickle=False) as blob:
         meta = json.loads(bytes(blob["__meta__"]).decode("utf-8"))
         flat_template = _flatten_with_keys(template_state)
@@ -250,6 +281,11 @@ def load_checkpoint(
                     f"Shape mismatch for '{key}': checkpoint {arr.shape} vs "
                     f"state {np.shape(leaf)}"
                 )
+            if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
+                # Restore the template's placement (row-sharded tables under
+                # a mesh, plain device arrays single-chip) instead of
+                # leaving host numpy for the caller to re-place.
+                arr = jax.device_put(arr, leaf.sharding)
             new_leaves.append(arr)
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return state, meta
