@@ -45,6 +45,10 @@ def main() -> None:
     parser.add_argument(
         "--mimic", choices=("dense", "sparse", "both"), default="both"
     )
+    parser.add_argument(
+        "--use-pallas", action="store_true",
+        help="route sparse-adam row ops through the per-row DMA kernels",
+    )
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -109,6 +113,7 @@ def main() -> None:
                 lambda_mimic_item=0.15,
                 lambda_category_alignment=0.01,
                 cal_max_categories=64,
+                use_pallas=args.use_pallas,
                 opt=parse_dense_opt_config(
                     {"optimizer": "adamw", "learning_rate": 1e-3,
                      "weight_decay": 0.01}
@@ -160,6 +165,7 @@ def main() -> None:
             result = {
                 "num_items": num_items,
                 "mimic_mode": mode,
+                **({"use_pallas": True} if args.use_pallas else {}),
                 "step_ms": round(1000 * train_s / steps, 3),
                 "examples_per_s": round(steps * batch / train_s, 1),
             }

@@ -43,7 +43,11 @@ B, NEG, F, D = 64, 3, 16, 64
 
 
 def _compiled_step_hlo(
-    num_rows: int, *, sparse: bool = True, exchange: str = "gspmd"
+    num_rows: int,
+    *,
+    sparse: bool = True,
+    exchange: str = "gspmd",
+    tensor_parallel: bool = False,
 ) -> str:
     """Compile the sharded hybrid step at [num_rows, D] tables; return HLO."""
     mc = {
@@ -94,9 +98,13 @@ def _compiled_step_hlo(
         embedding_exchange=exchange,
     )
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
-    pstate = place_state(mesh, pad_state_rows(state, 4))
+    pstate = place_state(
+        mesh, pad_state_rows(state, 4), tensor_parallel=tensor_parallel
+    )
     pdata = place_data(mesh, pad_batch_data(data, 4))
-    step = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    step = make_sharded_train_step(
+        cfg, tscfg, mesh, pstate, pdata, tensor_parallel=tensor_parallel
+    )
     u = jnp.asarray(rng.integers(0, num_rows, B).astype(np.int32))
     p = jnp.asarray(rng.integers(0, num_rows, B).astype(np.int32))
     return step.lower(pstate, pdata, u, p, jax.random.key(1)).compile().as_text()
@@ -127,6 +135,33 @@ def test_collective_bytes_independent_of_table_rows():
     small = collective_summary(_compiled_step_hlo(4096))
     large = collective_summary(_compiled_step_hlo(16384))
     assert small == large, (small, large)
+
+
+def test_tensor_parallel_step_collectives_stay_batch_sized():
+    """TP (Megatron col/row dense shardings + activation constraints) must
+    add only batch-sized psums over the row layers — no table-sized
+    collectives and no activation-grad replicate-repartition blowup (the
+    round-2 lowering produced 3x the collectives and activation-sized
+    all-gathers; the aligned weight/activation layouts eliminate it)."""
+    rows = 8192
+    tp_hlo = _compiled_step_hlo(rows, tensor_parallel=True)
+    assert_no_table_sized_collectives(
+        tp_hlo,
+        {name: (rows, D) for name in
+         ("user_id", "item_id", "user_aug", "item_aug")},
+        fraction=0.1,
+    )
+    base_hlo = _compiled_step_hlo(rows)
+    tp_bytes = sum(
+        v["bytes"] for v in collective_summary(tp_hlo).values()
+    )
+    base_bytes = sum(
+        v["bytes"] for v in collective_summary(base_hlo).values()
+    )
+    # The TP step's collective footprint stays within 10% of the pure-DP
+    # step's (the row-layer psums are [B, D]-sized and replace, not add
+    # to, the dense-grad reduction traffic for those weights).
+    assert tp_bytes <= base_bytes * 1.10, (tp_bytes, base_bytes)
 
 
 def test_alltoall_exchange_step_no_table_sized_collectives():

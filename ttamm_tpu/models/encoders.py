@@ -23,13 +23,65 @@ from __future__ import annotations
 
 import warnings
 from dataclasses import dataclass, field
-from typing import Any, Mapping
+from typing import Any, Callable, Mapping, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Params = dict[str, Any]
+
+
+class TPContext(NamedTuple):
+    """Tensor-parallel execution context threaded into the tower forward.
+
+    ``size`` is the model-axis extent; ``constrain(x, kind)`` applies a
+    sharding constraint to an activation, with ``kind`` one of
+    ``"hidden"`` (batch over data, features over model — the output of a
+    column-parallel layer) or ``"replicated"`` (batch over data only — the
+    output of a row-parallel or replicated layer). Keeping forward
+    activations pinned to the layout the weight shardings imply stops the
+    SPMD partitioner from re-laying-out activation *gradients* in the
+    transpose (the "involuntary full rematerialization" it otherwise hits:
+    grads arrive batch-sharded over every mesh axis and must be rebuilt
+    feature-sharded over ``model``).
+    """
+
+    size: int
+    constrain: Callable[[jax.Array, str], jax.Array]
+
+
+def tp_layer_roles(
+    shapes: list[tuple[int, int]], size: int
+) -> list[str]:
+    """Megatron-style role per linear layer: ``col`` / ``row`` / ``rep``.
+
+    Alternates column-parallel (weight ``[in, out/s]``, bias sharded,
+    output feature-sharded) with row-parallel (weight ``[in/s, out]``,
+    bias replicated, contraction over the sharded feature dim — GSPMD
+    inserts one batch-sized psum). A row layer always follows a col layer
+    (its contraction dim is the col layer's sharded output, divisible by
+    construction); a layer whose output dim does not divide ``size`` at a
+    col position is replicated and the alternation restarts. The single
+    source of truth for both the weight shardings
+    (``parallel/sharding.py``) and the forward's activation constraints.
+    """
+    roles: list[str] = []
+    after_col = False
+    for i, (_, dout) in enumerate(shapes):
+        if after_col:
+            roles.append("row")
+            after_col = False
+        elif dout % size == 0 and i < len(shapes) - 1:
+            # Never end a stack column-parallel: the tower output must be
+            # feature-replicated for the fusion/logit math, and with no
+            # row layer to contract back, a trailing col would force an
+            # activation all-gather for no matmul saving.
+            roles.append("col")
+            after_col = True
+        else:
+            roles.append("rep")
+    return roles
 
 _ACTIVATIONS = {
     "relu": jax.nn.relu,
@@ -327,12 +379,20 @@ def _apply_mlp(
     train: bool,
     dropout_rng: jax.Array | None,
     compute_dtype: str = "float32",
+    tp: TPContext | None = None,
 ) -> jax.Array:
     """Linear stack with activation+dropout after each hidden layer."""
     act = _ACTIVATIONS[activation]
     n = len(layers)
+    roles = (
+        tp_layer_roles([tuple(l["w"].shape) for l in layers], tp.size)
+        if tp is not None
+        else None
+    )
     for i, layer in enumerate(layers):
         x = _dot(x, layer["w"], compute_dtype) + layer["b"]
+        if tp is not None:
+            x = tp.constrain(x, "hidden" if roles[i] == "col" else "replicated")
         if i < n - 1:
             x = act(x)
             if train and dropout > 0.0 and dropout_rng is not None:
@@ -349,6 +409,7 @@ def apply_feature_encoder(
     *,
     train: bool = False,
     dropout_rng: jax.Array | None = None,
+    tp: TPContext | None = None,
 ) -> jax.Array:
     fe = cfg.feature_encoder
     assert fe is not None
@@ -363,6 +424,7 @@ def apply_feature_encoder(
         train=train,
         dropout_rng=dropout_rng,
         compute_dtype=cfg.compute_dtype,
+        tp=tp,
     )
 
 
@@ -371,14 +433,25 @@ def gate_values(
     id_repr: jax.Array,
     feat_repr: jax.Array,
     compute_dtype: str = "float32",
+    tp: TPContext | None = None,
 ) -> jax.Array:
     """The σ(MLP([id;feat])) gate itself — 1.0 means the blend is all-ID,
     0.0 all-feature (``encoders.py:164-167``). Exposed for the
     gate-statistics diagnostic."""
     gate_params = dense["gate"]
     h = jnp.concatenate([id_repr, feat_repr], axis=-1)
-    h = jax.nn.relu(_dot(h, gate_params["fc1"]["w"], compute_dtype) + gate_params["fc1"]["b"])
-    return jax.nn.sigmoid(_dot(h, gate_params["fc2"]["w"], compute_dtype) + gate_params["fc2"]["b"])
+    h = _dot(h, gate_params["fc1"]["w"], compute_dtype) + gate_params["fc1"]["b"]
+    if tp is not None:
+        roles = tp_layer_roles(
+            [gate_params["fc1"]["w"].shape, gate_params["fc2"]["w"].shape],
+            tp.size,
+        )
+        h = tp.constrain(h, "hidden" if roles[0] == "col" else "replicated")
+    h = jax.nn.relu(h)
+    out = _dot(h, gate_params["fc2"]["w"], compute_dtype) + gate_params["fc2"]["b"]
+    if tp is not None:
+        out = tp.constrain(out, "replicated")
+    return jax.nn.sigmoid(out)
 
 
 def apply_gate(
@@ -386,10 +459,11 @@ def apply_gate(
     id_repr: jax.Array,
     feat_repr: jax.Array,
     compute_dtype: str = "float32",
+    tp: TPContext | None = None,
 ) -> jax.Array:
     """σ-gate blend: ``g*id + (1-g)*feat`` with g = σ(MLP([id;feat]))
     (``encoders.py:164-168``)."""
-    gate = gate_values(dense, id_repr, feat_repr, compute_dtype)
+    gate = gate_values(dense, id_repr, feat_repr, compute_dtype, tp=tp)
     return gate * id_repr + (1.0 - gate) * feat_repr
 
 
@@ -419,11 +493,14 @@ def tower_forward(
     *,
     train: bool = False,
     dropout_rng: jax.Array | None = None,
+    tp: TPContext | None = None,
 ) -> jax.Array:
     """Tower forward from already-gathered embedding rows.
 
     Mirrors ``TowerEncoder.forward`` (``encoders.py:221-255``) including the
     fallback to id-only behaviour when features are unavailable at runtime.
+    ``tp`` activates tensor-parallel activation constraints (see
+    :class:`TPContext`); numerics are unchanged.
     """
     if cfg.embedding.max_norm is not None:
         # Functional analog of torch's max_norm renorm-on-lookup: clamp row
@@ -436,7 +513,7 @@ def tower_forward(
         return id_rows
 
     feat_repr = apply_feature_encoder(
-        dense, cfg, features, train=train, dropout_rng=dropout_rng
+        dense, cfg, features, train=train, dropout_rng=dropout_rng, tp=tp
     )
 
     if cfg.fusion == "sum":
@@ -446,5 +523,5 @@ def tower_forward(
         combined = jnp.concatenate([id_rows, feat_repr], axis=-1)
         return _dot(combined, proj["w"], cfg.compute_dtype) + proj["b"]
     if cfg.fusion == "gated":
-        return apply_gate(dense, id_rows, feat_repr, cfg.compute_dtype)
+        return apply_gate(dense, id_rows, feat_repr, cfg.compute_dtype, tp=tp)
     return id_rows

@@ -21,7 +21,6 @@ optimizer's scratch row is the last padded row).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -53,21 +52,70 @@ def table_shardings(mesh: Mesh, tables: dict[str, Any]) -> dict[str, Any]:
     return {name: _row_sharded(mesh) for name in tables}
 
 
-def _tp_spec(mesh: Mesh, x) -> NamedSharding:
-    """Tensor-parallel spec for one dense leaf: shard the trailing dim of
-    2-D weights over ``model`` (Megatron column style — GSPMD inserts the
-    activation collectives), the leading dim as fallback, 1-D biases over
-    ``model`` when divisible; replicate anything that doesn't divide."""
+def _tp_role_shardings(mesh: Mesh, role: str) -> dict[str, NamedSharding]:
+    """{w, b} shardings for one linear layer under its Megatron role."""
+    if role == "col":
+        return {
+            "w": NamedSharding(mesh, P(None, MODEL_AXIS)),
+            "b": NamedSharding(mesh, P(MODEL_AXIS)),
+        }
+    if role == "row":
+        return {
+            "w": NamedSharding(mesh, P(MODEL_AXIS, None)),
+            "b": _replicated(mesh),
+        }
+    return {"w": _replicated(mesh), "b": _replicated(mesh)}
+
+
+def tp_dense_shardings(mesh: Mesh, dense: Any) -> Any:
+    """Tensor-parallel shardings for the dense tower params.
+
+    Role assignment comes from :func:`models.encoders.tp_layer_roles` —
+    the SAME function the forward uses for its activation constraints, so
+    weight layout and activation layout can never disagree (disagreement
+    is what made the partitioner fully rematerialise activation grads in
+    the transpose; see TPContext). Alternating col/row keeps every
+    cross-shard collective batch-sized: one psum per row layer, no
+    activation all-gathers between col->row pairs.
+    """
+    from ..models.encoders import tp_layer_roles
+
     size = mesh.shape[MODEL_AXIS]
-    shape = getattr(x, "shape", ())
-    if len(shape) == 2:
-        if shape[1] % size == 0:
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
-        if shape[0] % size == 0:
-            return NamedSharding(mesh, P(MODEL_AXIS, None))
-    elif len(shape) == 1 and shape and shape[0] % size == 0:
-        return NamedSharding(mesh, P(MODEL_AXIS))
-    return _replicated(mesh)
+    rep = _replicated(mesh)
+
+    def tower(params: Any) -> Any:
+        out: dict[str, Any] = {}
+        for key, sub in params.items():
+            if key == "feature_encoder":
+                layers = sub["layers"]
+                roles = tp_layer_roles(
+                    [tuple(np.shape(l["w"])) for l in layers], size
+                )
+                out[key] = {
+                    "layers": [
+                        _tp_role_shardings(mesh, r) for r in roles
+                    ]
+                }
+            elif key == "gate":
+                roles = tp_layer_roles(
+                    [
+                        tuple(np.shape(sub["fc1"]["w"])),
+                        tuple(np.shape(sub["fc2"]["w"])),
+                    ],
+                    size,
+                )
+                out[key] = {
+                    "fc1": _tp_role_shardings(mesh, roles[0]),
+                    "fc2": _tp_role_shardings(mesh, roles[1]),
+                }
+            else:
+                # projection (single linear) and anything unrecognised:
+                # replicate — a lone layer has no row partner to contract
+                # back through, so sharding it only buys collectives.
+                out[key] = jax.tree.map(lambda _: rep, sub)
+        return out
+
+    return {name: tower(params) for name, params in dense.items()}
 
 
 def state_shardings(
@@ -86,15 +134,16 @@ def state_shardings(
 
     tables_s = {name: row for name in state.tables}
     if tensor_parallel:
-        dense_leaf = partial(_tp_spec, mesh)
+        def dense_tree(tree):
+            return tp_dense_shardings(mesh, tree)
     else:
-        def dense_leaf(_):
-            return rep
-    dense_s = jax.tree.map(dense_leaf, state.dense)
+        def dense_tree(tree):
+            return jax.tree.map(lambda _: rep, tree)
+    dense_s = dense_tree(state.dense)
 
     def _opt_dense_target_sharding(target):
         return {
-            "dense": jax.tree.map(dense_leaf, target["dense"]),
+            "dense": dense_tree(target["dense"]),
             "tables": {name: row for name in target["tables"]},
         }
 

@@ -44,7 +44,9 @@ def make_sharded_train_step(
     (``place_state``): True additionally shards dense tower params and
     their moments over the ``model`` axis.
     """
-    base_step = make_train_step(cfg, tscfg, mesh=mesh)
+    base_step = make_train_step(
+        cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel
+    )
     # Re-jit the underlying function with shardings: reach for the wrapped
     # fn to avoid double-jit overhead.
     inner = base_step.__wrapped__ if hasattr(base_step, "__wrapped__") else base_step

@@ -576,8 +576,12 @@ def run_single_experiment(
         ),
         opt=parse_dense_opt_config(training_config),
     )
-    train_step = make_train_step(model_cfg, tscfg, mesh=mesh)
-    multi_step = make_multi_train_step(model_cfg, tscfg, mesh=mesh)
+    train_step = make_train_step(
+        model_cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel
+    )
+    multi_step = make_multi_train_step(
+        model_cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel
+    )
     steps_per_call_cfg = training_config.get("steps_per_call", "auto")
     eval_step = make_eval_loss_step(model_cfg, tscfg)
     multi_eval_step = make_multi_eval_loss_step(model_cfg, tscfg)

@@ -28,7 +28,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..models.encoders import tower_forward
+from ..models.encoders import TPContext, tower_forward
 from ..models.two_tower import ModelConfig
 from ..ops.losses import bce_with_logits, category_alignment_loss
 from ..ops.sampling import sample_negative_items
@@ -84,6 +84,7 @@ def _forward_embeddings(
     *,
     train: bool,
     dropout_rng: jax.Array | None,
+    tp: TPContext | None = None,
 ):
     """Shared forward producing (user_emb, pos_emb, neg_emb, mimic losses).
 
@@ -106,11 +107,11 @@ def _forward_embeddings(
 
     user_base = tower_forward(
         dense["user_tower"], cfg.user_tower, user_rows, user_feats,
-        train=train, dropout_rng=rng_u,
+        train=train, dropout_rng=rng_u, tp=tp,
     )
     item_base_all = tower_forward(
         dense["item_tower"], cfg.item_tower, item_rows_all, item_feats_all,
-        train=train, dropout_rng=rng_i,
+        train=train, dropout_rng=rng_i, tp=tp,
     )
     pos_base = item_base_all[:batch]
     neg_base = item_base_all[batch:]
@@ -168,7 +169,13 @@ def _in_batch_softmax_loss(user_emb, pos_emb, pos_idx):
     return -jnp.mean(jnp.diagonal(log_probs))
 
 
-def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
+def make_train_step(
+    cfg: ModelConfig,
+    tscfg: TrainStepConfig,
+    *,
+    mesh=None,
+    tensor_parallel: bool = False,
+):
     """Build the jitted train step ``(state, data, u_idx, pos_idx, rng) ->
     (state, metrics)``.
 
@@ -177,6 +184,12 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
     — the partitioner then all-gathers ``[B, D]`` row grads over ``data``
     (batch-sized) instead of all-reducing the scattered ``[rows, D]``
     table-shaped gradient (table-sized; measured on the 8-device mesh).
+
+    ``tensor_parallel`` must match how the dense params were placed
+    (``place_state(tensor_parallel=True)``): it pins forward activations
+    to the layout the Megatron col/row weight shardings imply, so the
+    transpose never hits the partitioner's replicate-and-repartition
+    fallback on activation grads.
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -188,6 +201,24 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
     else:
         def replicate(x):
             return x
+
+    tp_ctx = None
+    if mesh is not None and tensor_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        _hidden_s = NamedSharding(mesh, PartitionSpec(DATA_AXIS, MODEL_AXIS))
+        _batch_s = NamedSharding(mesh, PartitionSpec(DATA_AXIS, None))
+
+        def _tp_constrain(x, kind):
+            return jax.lax.with_sharding_constraint(
+                x, _hidden_s if kind == "hidden" else _batch_s
+            )
+
+        tp_ctx = TPContext(
+            size=mesh.shape[MODEL_AXIS], constrain=_tp_constrain
+        )
 
     if tscfg.embedding_exchange not in {"gspmd", "alltoall"}:
         raise ValueError(
@@ -218,7 +249,7 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
             cfg, tscfg, dense, data,
             u_idx, pos_idx, neg_idx_flat, rows["user_id"], rows["item_id"],
             rows.get("user_aug"), rows.get("item_aug"),
-            train=True, dropout_rng=dropout_rng,
+            train=True, dropout_rng=dropout_rng, tp=tp_ctx,
         )
         if tscfg.loss_type == "in_batch_softmax":
             retrieval_loss = _in_batch_softmax_loss(user_emb, pos_emb, pos_idx)
@@ -384,7 +415,13 @@ def make_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
     return train_step
 
 
-def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None):
+def make_multi_train_step(
+    cfg: ModelConfig,
+    tscfg: TrainStepConfig,
+    *,
+    mesh=None,
+    tensor_parallel: bool = False,
+):
     """Jitted multi-batch step: ``lax.scan`` the train step over K stacked
     batches in one device call.
 
@@ -394,7 +431,9 @@ def make_multi_train_step(cfg: ModelConfig, tscfg: TrainStepConfig, *, mesh=None
     whole chunks of the epoch and falls back to the single step for the
     remainder batch. Donates the input state.
     """
-    single = make_train_step(cfg, tscfg, mesh=mesh)
+    single = make_train_step(
+        cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel
+    )
     raw_step = single.__wrapped__
 
     def multi(state: TrainState, data: BatchData, u_all, p_all, rng):
