@@ -96,6 +96,26 @@ def main() -> int:
         float(np.max(np.abs(m2_p - m2_ref))) / scale < 1e-2,
     )
 
+    # --- sparse-adam per-row DMA path (the single-chip TPU default) ---
+    from ttamm_tpu.ops.sparse_adam import init_sparse_adam, sparse_adam_update
+
+    table = jnp.asarray(rng.normal(0, 1, (100_001, 128)).astype(np.float32))
+    st = init_sparse_adam(table)
+    idx = jnp.asarray(rng.integers(0, 100_000, 4096).astype(np.int32))
+    g = jnp.asarray(rng.normal(0, 1, (4096, 128)).astype(np.float32))
+    t_x, s_x = jax.jit(
+        lambda *a: sparse_adam_update(*a, lr=0.01, use_pallas=False)
+    )(table, st, idx, g)
+    t_p, s_p = jax.jit(
+        lambda *a: sparse_adam_update(*a, lr=0.01, use_pallas=True)
+    )(table, st, idx, g)
+    check(
+        "sparse_adam pallas rows == XLA sorted path (atol 1e-6)",
+        np.allclose(np.asarray(t_x), np.asarray(t_p), atol=1e-6)
+        and np.allclose(np.asarray(s_x.m), np.asarray(s_p.m), atol=1e-6)
+        and np.allclose(np.asarray(s_x.v), np.asarray(s_p.v), atol=1e-6),
+    )
+
     print(f"{failures} failure(s)")
     return 1 if failures else 0
 

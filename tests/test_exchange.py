@@ -90,6 +90,62 @@ def test_exchange_gradient_matches_take():
     assert np.allclose(np.asarray(g_ex), np.asarray(g_ref), atol=1e-6)
 
 
+def _emulated_ragged_all_to_all(
+    operand, output, input_offsets, send_sizes, output_offsets, recv_sizes,
+    *, axis_name,
+):
+    """Reference implementation of ``lax.ragged_all_to_all`` semantics
+    using only all_gather + masked scatters (runs on XLA:CPU, which lacks
+    the ragged thunk). Per the op's contract, for every (source s, dest d):
+    s's operand[input_offsets[d] : +send_sizes[d]] lands at offset
+    output_offsets[d] of d's output buffer."""
+    ops = jax.lax.all_gather(operand, axis_name)            # [S, n, ...]
+    in_off = jax.lax.all_gather(input_offsets, axis_name)   # [S, S]
+    sizes = jax.lax.all_gather(send_sizes, axis_name)       # [S, S]
+    out_off = jax.lax.all_gather(output_offsets, axis_name) # [S, S]
+    me = jax.lax.axis_index(axis_name)
+    n = operand.shape[0]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    out = output
+    for s in range(ops.shape[0]):
+        chunk = jnp.take(
+            ops[s], jnp.clip(in_off[s, me] + ar, 0, n - 1), axis=0
+        )
+        valid = ar < sizes[s, me]
+        dst = jnp.where(valid, out_off[s, me] + ar, output.shape[0])
+        out = out.at[dst].set(chunk, mode="drop")
+    return out
+
+
+@pytest.mark.parametrize(
+    "ids_fn",
+    [
+        lambda rng: rng.integers(0, ROWS, 32).astype(np.int32),
+        lambda rng: np.full(32, ROWS - 3, np.int32),  # all on one shard
+        lambda rng: np.repeat(
+            rng.integers(0, ROWS, 8).astype(np.int32), 4
+        ),  # heavy duplicates
+    ],
+)
+def test_ragged_exchange_routing_matches_take(monkeypatch, ids_fn):
+    """Execute the REAL ``_ragged_exchange_rows`` code — every line of its
+    offset bookkeeping (counts/starts matrices, recv offsets, return-trip
+    landing slots) — with only the collective swapped for a semantics-
+    faithful emulation (XLA:CPU has no ragged-all-to-all thunk). The
+    hardware lowering itself is exercised by
+    ``scripts/check_ragged_exchange.py`` on the attached chip."""
+    monkeypatch.setattr(
+        jax.lax, "ragged_all_to_all", _emulated_ragged_all_to_all
+    )
+    mesh = _mesh(2, 4)
+    table = _table(7)
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(ids_fn(rng))
+    lookup = make_exchange_lookup(mesh, ROWS, variant="ragged")
+    out = lookup(table, ids)
+    assert np.allclose(np.asarray(out), np.asarray(table)[np.asarray(ids)])
+
+
 def test_padded_exchange_lookup():
     mesh = _mesh(2, 4)
     table = _table(5)

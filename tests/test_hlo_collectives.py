@@ -177,3 +177,67 @@ def test_alltoall_exchange_step_no_table_sized_collectives():
     small = collective_summary(_compiled_step_hlo(4096, exchange="alltoall"))
     large = collective_summary(_compiled_step_hlo(16384, exchange="alltoall"))
     assert small == large, (small, large)
+
+
+def test_mesh_eval_no_corpus_sized_collectives():
+    """The mesh eval sweep (VERDICT r2 #5): with the corpus row-sharded and
+    the shard-mapped distributed top-k, no collective may move anything
+    near the [N, D] item-embedding slab — only [B, k]-sized local-winner
+    merges cross links."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ttamm_tpu.evaluation.retrieval import _scan_encode_search_hits
+    from ttamm_tpu.parallel.hlo_inspect import oversized_collectives
+
+    rows = 4096  # users AND items (reuses the step helper's model shapes)
+    mc = {
+        "user_encoder": {
+            "type": "tower",
+            "id_embedding": {"params": {"embedding_dim": D, "sparse": True}},
+            "feature_encoder": {"type": "mlp", "hidden_dims": [32], "output_dim": D},
+            "fusion": "gated",
+        },
+        "item_encoder": {
+            "type": "tower",
+            "id_embedding": {"params": {"embedding_dim": D, "sparse": True}},
+            "feature_encoder": {"type": "mlp", "hidden_dims": [32], "output_dim": D},
+            "fusion": "gated",
+        },
+        "similarity": "cosine",
+        "adaptive_mimic": {"enabled": True},
+    }
+    cfg = parse_model_config(mc, user_feature_dim=F, item_feature_dim=F)
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=rows, num_items=rows
+    )
+    rng = np.random.default_rng(0)
+    data = BatchData(
+        user_features=jnp.asarray(rng.normal(0, 1, (rows, F)).astype(np.float32)),
+        item_features=jnp.asarray(rng.normal(0, 1, (rows, F)).astype(np.float32)),
+        positive_rows=jnp.asarray(
+            rng.integers(0, rows, (rows, 4)).astype(np.int32)
+        ),
+        category_ids=jnp.asarray(rng.integers(0, 4, rows).astype(np.int32)),
+    )
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    from ttamm_tpu.parallel import pad_batch_data, pad_state_rows, place_data, place_state
+
+    pstate = place_state(mesh, pad_state_rows(state, 4))
+    pdata = place_data(mesh, pad_batch_data(data, 4))
+    items = jax.device_put(
+        jnp.asarray(rng.normal(0, 1, (rows, D)).astype(np.float32)),
+        NamedSharding(mesh, P("model", None)),
+    )
+    user_mat = jnp.asarray(rng.integers(0, rows, (2, B)).astype(np.int32))
+    gt_mat = jnp.asarray(rng.integers(0, rows, (2, B, 3)).astype(np.int32))
+    blocked = jnp.asarray(rng.integers(0, rows, (rows, 4)).astype(np.int32))
+
+    lowered = _scan_encode_search_hits.lower(
+        pstate, pdata, cfg, user_mat, gt_mat, items, blocked,
+        deep_k=13, chunk=2048, cosine=True, max_k=10,
+        mesh=mesh, num_valid_rows=rows,
+    )
+    hlo = lowered.compile().as_text()
+    slab_bytes = rows * D * 4
+    bad = oversized_collectives(hlo, slab_bytes // 10)
+    assert not bad, [str(c) for c in bad]

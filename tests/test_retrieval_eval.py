@@ -239,3 +239,59 @@ def test_eval_plan_matches_batched_path():
     preds_plan, gts_plan = evaluate_retrieval(state, data, cfg, plan=plan, **kwargs)
     assert preds_plan == preds_ref
     assert gts_plan == gts_ref
+
+
+@pytest.mark.parametrize("seed,block_heavy", [(0, False), (3, True)])
+def test_sharded_mesh_eval_matches_local(seed, block_heavy):
+    """evaluate_retrieval_metrics(mesh=...) — the distributed shard-local
+    top-k + merge over the row-sharded corpus — must reproduce the local
+    path's metrics exactly (the distributed search is exact: when deep_k
+    >= rows_per_shard each shard returns every row it owns, otherwise its
+    top-k suffices; blocked ids and zero-pad rows are masked inside the
+    shard-local search)."""
+    from ttamm_tpu.evaluation import (
+        build_eval_plan,
+        evaluate_retrieval_metrics,
+    )
+    from ttamm_tpu.parallel import MeshConfig, build_mesh
+
+    cfg, state, data, positives, rng = _setup(seed=seed)
+    num_users, num_items = 20, 15
+    rows = []
+    for u in range(num_users):
+        for it in {
+            int(x) for x in rng.integers(0, num_items, int(rng.integers(1, 4)))
+        }:
+            rows.append((u, it))
+    val = pd.DataFrame(
+        {"user_idx": [r[0] for r in rows], "item_idx": [r[1] for r in rows]}
+    )
+    if block_heavy:
+        train_blocked = {
+            u: {int(x) for x in rng.integers(0, num_items, 12)}
+            for u in range(num_users)
+        }
+    else:
+        train_blocked = {u: set(list(positives[u])[:2]) for u in range(num_users)}
+
+    k_values = [5, 10]
+    plan = build_eval_plan(
+        val, train_blocked,
+        num_users=num_users, num_items=num_items,
+        k_values=k_values, user_batch_size=7,
+    )
+    local = evaluate_retrieval_metrics(
+        state, data, cfg, plan=plan, k_values=k_values, topk_chunk_size=4
+    )
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    sharded = evaluate_retrieval_metrics(
+        state, data, cfg, plan=plan, k_values=k_values, topk_chunk_size=4,
+        mesh=mesh,
+    )
+    for k in k_values:
+        assert sharded.recall[k] == pytest.approx(local.recall[k], abs=1e-12)
+        assert sharded.ndcg[k] == pytest.approx(local.ndcg[k], abs=1e-12)
+        assert sharded.precision[k] == pytest.approx(local.precision[k], abs=1e-12)
+        assert sharded.hit_rate[k] == pytest.approx(local.hit_rate[k], abs=1e-12)
+        assert sharded.map[k] == pytest.approx(local.map[k], abs=1e-12)
+    assert sharded.mrr == pytest.approx(local.mrr, abs=1e-12)

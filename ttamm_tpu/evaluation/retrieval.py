@@ -243,7 +243,10 @@ def _scan_encode_search(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "deep_k", "chunk", "cosine", "max_k", "score_dtype"),
+    static_argnames=(
+        "cfg", "deep_k", "chunk", "cosine", "max_k", "score_dtype",
+        "mesh", "num_valid_rows",
+    ),
 )
 def _scan_encode_search_hits(
     state: TrainState,
@@ -259,6 +262,8 @@ def _scan_encode_search_hits(
     cosine: bool,
     max_k: int,
     score_dtype: str = "float32",
+    mesh=None,
+    num_valid_rows: int | None = None,
 ) -> jax.Array:
     """Whole-corpus eval returning the per-user HIT MATRIX on device.
 
@@ -276,21 +281,49 @@ def _scan_encode_search_hits(
 
     Returns hits bool [nb, bs, max_k]; feed to
     ``metrics_from_hit_matrix`` with the plan's ``gt_sizes``.
+
+    ``mesh``: with a model axis > 1, the per-batch search runs through the
+    shard-mapped distributed top-k (``parallel.step.make_sharded_topk``) —
+    shard-local ``mips_topk`` over the row-sharded corpus + a [B, k]-sized
+    all-gather merge, so the full item-embedding slab is never replicated
+    per device (``item_embeddings`` must arrive ``P(model, None)``-placed
+    and row-padded; ``num_valid_rows`` is the real item count).
     """
+    sharded_search = None
+    if mesh is not None:
+        from ..parallel.step import make_sharded_topk
+
+        sharded_search = make_sharded_topk(
+            mesh,
+            k=deep_k,
+            padded_rows=item_embeddings.shape[0],
+            num_valid_rows=(
+                item_embeddings.shape[0]
+                if num_valid_rows is None
+                else num_valid_rows
+            ),
+            chunk_size=chunk,
+            normalize_queries=cosine,
+            score_dtype=score_dtype,
+            with_mask=True,
+        )
 
     def step(_, xs):
         u_idx, gt_b = xs
         queries = encode_user_batch(state, data, cfg, u_idx)
         mask_rows = jnp.take(blocked_rows, u_idx, axis=0)
-        scores, idx = mips_topk(
-            queries,
-            item_embeddings,
-            k=deep_k,
-            chunk_size=chunk,
-            mask_rows=mask_rows,
-            normalize_queries=cosine,
-            score_dtype=score_dtype,
-        )
+        if sharded_search is not None:
+            scores, idx = sharded_search(queries, item_embeddings, mask_rows)
+        else:
+            scores, idx = mips_topk(
+                queries,
+                item_embeddings,
+                k=deep_k,
+                chunk_size=chunk,
+                mask_rows=mask_rows,
+                normalize_queries=cosine,
+                score_dtype=score_dtype,
+            )
         valid = scores > _VALID_THRESHOLD  # [bs, deep_k]
         nvalid = jnp.sum(valid.astype(jnp.int32), axis=-1)  # [bs]
         gt_size = jnp.sum((gt_b >= 0).astype(jnp.int32), axis=-1)  # [bs]
@@ -327,6 +360,7 @@ def evaluate_retrieval_metrics(
     item_embeddings: jax.Array | None = None,
     topk_chunk_size: int = 8192,
     score_dtype: str = "float32",
+    mesh=None,
 ):
     """One-dispatch retrieval eval straight to :class:`RankingMetrics`.
 
@@ -353,11 +387,35 @@ def evaluate_retrieval_metrics(
         item_embeddings = item_embeddings / jnp.maximum(
             jnp.linalg.norm(item_embeddings, axis=-1, keepdims=True), 1e-12
         )
+    num_valid_rows = item_embeddings.shape[0]
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # Row-shard the corpus over the model axis for the distributed
+        # search (zero-pad rows are -inf-masked inside the shard-local
+        # top-k; see make_sharded_topk).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        num_shards = mesh.shape["model"]
+        pad = (-item_embeddings.shape[0]) % num_shards
+        if pad:
+            item_embeddings = jnp.concatenate(
+                [
+                    item_embeddings,
+                    jnp.zeros(
+                        (pad, item_embeddings.shape[1]), item_embeddings.dtype
+                    ),
+                ]
+            )
+        item_embeddings = jax.device_put(
+            item_embeddings, NamedSharding(mesh, P("model", None))
+        )
+    else:
+        mesh = None  # data-parallel-only meshes use the plain local search
     hits = _scan_encode_search_hits(
         state, data, cfg, plan.user_mat, plan.gt_mat, item_embeddings,
         plan.blocked_rows,
         deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
         max_k=max_k, score_dtype=score_dtype,
+        mesh=mesh, num_valid_rows=num_valid_rows,
     )
     hits_np = np.asarray(jax.device_get(hits))  # [nb, bs, max_k]
     # Drop the pad rows (short final batch repeats its last user; counting

@@ -135,8 +135,14 @@ def sparse_adam_update(
     read).
 
     ``use_pallas`` routes the row gathers/scatters through the per-row DMA
-    kernels (``ops/pallas/rows.py``) — faster than XLA's scatter lowering
-    on TPU; leave False on CPU.
+    kernels (``ops/pallas/rows.py``). Measured on v5e (round 3,
+    ``scripts/bench_scatter_variants.py`` + in-context corpus sweep): the
+    DMA scatter is FLAT in table rows at ~0.98 ms/12k-row update while
+    XLA's hinted scatter is linear in rows and its generic one flat but
+    1.8x slower — in the full step that is 4.43 ms vs 5.67 ms at 100k
+    items and 4.50 ms vs 9.92 ms at 2M. Leave False on CPU (no Mosaic)
+    and under GSPMD sharding (custom calls aren't partitionable); the
+    train step's ``use_pallas=None`` auto does exactly that.
 
     Precedence: a packed state (``training.packed_moments``) always takes
     the XLA packed path — ``use_pallas`` is ignored for it (there is no
@@ -155,12 +161,15 @@ def sparse_adam_update(
         return sparse_adam_update_packed(
             table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps
         )
-    if not use_pallas:
-        # Default: the sorted scatter-ADD formulation — measured 2x faster
-        # than scratch-routed scatter-set on v5e (XLA's sorted fast path).
+    block = _pick_block(indices.shape[0]) if use_pallas else None
+    if block is None:
+        # Default: the sorted scatter-ADD formulation — XLA's fastest
+        # lowering below SORTED_SCATTER_MAX_ROWS, flat-but-generic above.
         return sparse_adam_update_sorted(
             table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps
         )
+
+    from .pallas.rows import gather_rows, scatter_set_rows
 
     scratch_row = table.shape[0] - 1
     step = state.step + 1
@@ -169,21 +178,9 @@ def sparse_adam_update(
         indices.astype(jnp.int32), row_grads, scratch_row=scratch_row
     )
 
-    if use_pallas:
-        from .pallas.rows import gather_rows, scatter_set_rows
-
-        block = _pick_block(target_rows.shape[0])
-        if block is None:
-            use_pallas = False
-
-    if use_pallas:
-        m_rows = gather_rows(state.m, target_rows, block=block)
-        v_rows = gather_rows(state.v, target_rows, block=block)
-        w_rows = gather_rows(table, target_rows, block=block)
-    else:
-        m_rows = state.m[target_rows]
-        v_rows = state.v[target_rows]
-        w_rows = table[target_rows]
+    m_rows = gather_rows(state.m, target_rows, block=block)
+    v_rows = gather_rows(state.v, target_rows, block=block)
+    w_rows = gather_rows(table, target_rows, block=block)
 
     m_new = b1 * m_rows + (1.0 - b1) * grads
     v_new = b2 * v_rows + (1.0 - b2) * jnp.square(grads)
@@ -193,14 +190,9 @@ def sparse_adam_update(
     v_hat = v_new / (1.0 - jnp.power(b2, t))
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-    if use_pallas:
-        new_table = scatter_set_rows(table, target_rows, w_rows - delta, block=block)
-        new_m = scatter_set_rows(state.m, target_rows, m_new, block=block)
-        new_v = scatter_set_rows(state.v, target_rows, v_new, block=block)
-    else:
-        new_table = table.at[target_rows].set(w_rows - delta, unique_indices=False)
-        new_m = state.m.at[target_rows].set(m_new, unique_indices=False)
-        new_v = state.v.at[target_rows].set(v_new, unique_indices=False)
+    new_table = scatter_set_rows(table, target_rows, w_rows - delta, block=block)
+    new_m = scatter_set_rows(state.m, target_rows, m_new, block=block)
+    new_v = scatter_set_rows(state.v, target_rows, v_new, block=block)
     return new_table, SparseAdamState(m=new_m, v=new_v, step=step)
 
 

@@ -21,7 +21,12 @@ from .sharding import (
     place_state,
     state_shardings,
 )
-from .step import make_sharded_train_step, sharded_mips_topk
+from .step import (
+    make_sharded_multi_train_step,
+    make_sharded_topk,
+    make_sharded_train_step,
+    sharded_mips_topk,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -42,6 +47,8 @@ __all__ = [
     "place_data",
     "place_state",
     "round_up",
+    "make_sharded_multi_train_step",
+    "make_sharded_topk",
     "sharded_mips_topk",
     "state_shardings",
 ]

@@ -25,7 +25,7 @@ from ..models.two_tower import ModelConfig
 from ..ops.topk import mips_topk
 from ..train.state import BatchData, TrainState
 from ..train.step import TrainStepConfig, make_train_step
-from .mesh import MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 from .sharding import batch_sharding, data_shardings, state_shardings
 
 
@@ -73,34 +73,83 @@ def make_sharded_train_step(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k", "mesh", "normalize_queries", "chunk_size", "score_dtype",
-        "num_valid_rows",
-    ),
-)
-def _sharded_topk_impl(
-    queries: jax.Array,
-    item_shards: jax.Array,
+def make_sharded_multi_train_step(
+    cfg: ModelConfig,
+    tscfg: TrainStepConfig,
+    mesh: Mesh,
+    state_template: TrainState,
+    data_template: BatchData,
+    *,
+    tensor_parallel: bool = False,
+):
+    """Explicit-shardings jit of the K-batch scanned step (donated state).
+
+    The mesh analog of ``train.step.make_multi_train_step`` — one compile
+    path for bench, tests, dryrun AND the production pipeline: in/out
+    shardings pinned (state as placed, ``[K, B]`` batch index chunks
+    sharded over ``data`` on their batch axis), state donated.
+    """
+    from ..train.step import make_train_step
+
+    base = make_train_step(
+        cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel
+    )
+    raw_step = base.__wrapped__
+
+    def multi(state: TrainState, data: BatchData, u_all, p_all, rng):
+        steps = u_all.shape[0]
+
+        def body(st, xs):
+            u, p, i = xs
+            st, metrics = raw_step(st, data, u, p, jax.random.fold_in(rng, i))
+            return st, metrics["loss"]
+
+        return jax.lax.scan(
+            body, state, (u_all, p_all, jnp.arange(steps, dtype=jnp.int32))
+        )
+
+    st_shard = state_shardings(
+        mesh, state_template, tensor_parallel=tensor_parallel
+    )
+    dt_shard = data_shardings(mesh, data_template)
+    chunk_shard = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        multi,
+        in_shardings=(st_shard, dt_shard, chunk_shard, chunk_shard, rep),
+        out_shardings=(st_shard, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_topk(
+    mesh: Mesh,
     *,
     k: int,
-    mesh: Mesh,
-    normalize_queries: bool,
-    chunk_size: int,
+    padded_rows: int,
+    num_valid_rows: int,
+    chunk_size: int = 8192,
+    normalize_queries: bool = False,
     score_dtype: str = "float32",
-    num_valid_rows: int | None = None,
+    with_mask: bool = False,
 ):
+    """Build the shard-mapped distributed top-k callable.
+
+    ``(queries [B, D], item_shards [padded_rows, D])`` (+ optional
+    ``mask_rows [B, M]`` of GLOBAL item ids when ``with_mask``) ->
+    ``(scores [B, k], global idx [B, k])``. Items are row-sharded
+    ``P(model, None)``; each shard runs a local ``mips_topk`` over its
+    rows and an all-gather of the [B, k]-sized local winners merges
+    globally — the full corpus never crosses a link. Callable inside an
+    outer jit (the EvalPlan scan uses it per user batch).
+    """
     from jax import shard_map
 
     num_shards = mesh.shape[MODEL_AXIS]
-    rows_per_shard = item_shards.shape[0] // num_shards
-    num_valid = (
-        item_shards.shape[0] if num_valid_rows is None else num_valid_rows
-    )
-    num_pad = item_shards.shape[0] - num_valid  # pad rows sit on the LAST shard
+    rows_per_shard = padded_rows // num_shards
+    num_pad = padded_rows - num_valid_rows  # pad rows sit on the LAST shard
 
-    def local_topk(q, items):
+    def local_topk(q, items, mask_rows=None):
         # items: local shard rows [rows_per_shard, D]; q replicated [B, D].
         shard_id = jax.lax.axis_index(MODEL_AXIS)
         mask = None
@@ -120,6 +169,21 @@ def _sharded_topk_impl(
                           rows_per_shard)[None, :],  # id >= N drops the mask
                 (q.shape[0], num_pad),
             )
+        if mask_rows is not None:
+            # Global ids -> shard-local; anything outside my row range
+            # (including sentinel num_items padding) goes to the
+            # out-of-range sentinel. The explicit where matters: a raw
+            # negative local id would WRAP in the mask scatter and
+            # silently block the wrong row.
+            local = mask_rows.astype(jnp.int32) - shard_id * rows_per_shard
+            local = jnp.where(
+                (local >= 0) & (local < rows_per_shard),
+                local,
+                rows_per_shard,
+            )
+            mask = local if mask is None else jnp.concatenate(
+                [mask, local], axis=1
+            )
         scores, idx = mips_topk(
             q,
             items,
@@ -137,13 +201,46 @@ def _sharded_topk_impl(
         top_idx = jnp.take_along_axis(all_idx, pos, axis=-1)
         return top_scores, top_idx
 
+    in_specs = (P(), P(MODEL_AXIS, None)) + ((P(),) if with_mask else ())
     return shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, item_shards)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "mesh", "normalize_queries", "chunk_size", "score_dtype",
+        "num_valid_rows",
+    ),
+)
+def _sharded_topk_impl(
+    queries: jax.Array,
+    item_shards: jax.Array,
+    *,
+    k: int,
+    mesh: Mesh,
+    normalize_queries: bool,
+    chunk_size: int,
+    score_dtype: str = "float32",
+    num_valid_rows: int | None = None,
+):
+    fn = make_sharded_topk(
+        mesh,
+        k=k,
+        padded_rows=item_shards.shape[0],
+        num_valid_rows=(
+            item_shards.shape[0] if num_valid_rows is None else num_valid_rows
+        ),
+        chunk_size=chunk_size,
+        normalize_queries=normalize_queries,
+        score_dtype=score_dtype,
+    )
+    return fn(queries, item_shards)
 
 
 def sharded_mips_topk(
