@@ -1,30 +1,33 @@
-"""Metadata feature engineering for the item and user towers.
+"""Metadata feature engineering: independent feature blocks + a composer.
 
-Exact semantic parity with the reference feature builders
-(``src/data/features.py:58-315``); the feature-ordering, weighting, and
-normalization rules below are pinned by the reference unit tests:
+Each feature family is built by its own block function returning a
+:class:`FeatureBlock` (matrix column-slab + the metadata fields it
+contributes); ``build_item_feature_matrix`` concatenates the slabs in the
+fixed block order [category, author, numeric, text] and assembles
+:class:`FeatureMetadata` from the block outputs. Host-side numpy/scipy
+only — this feeds the device arrays, it never runs under jit.
 
-- item features = concat[category multi-hot, author one-hot, z-scored
-  numerics, z-scored title word/char counts];
-- category tokens are hierarchical: the "Books" root is dropped, the main
-  category is emitted, and deeper levels are scoped as "Main > Sub > ...";
-- a category cell holds ``max`` over tokens of ``1 / (depth + 1)`` where
-  depth counts " > " separators (1.0 for mains, 0.5 for one sublevel, ...);
-- author one-hot over top-k authors, NaN -> "Unknown";
-- numeric columns coerced to float, NaN imputed with the column mean, then
-  z-scored (zero-std columns use std=1);
-- user features pool interacted items' feature rows (mean / sum / max).
+Semantics are pinned by ``tests/test_features.py`` to exact parity with
+the reference feature builders (``src/data/features.py:58-315``):
 
-Unlike the reference (Python loops over rows, ``features.py:155-180,300-315``)
-the pooling and one-hot builds here are vectorised with numpy scatter ops so
-host-side preprocessing is not the bottleneck feeding a TPU.
+- category tokens are hierarchical prefixes of the " > "-joined path with
+  the "Books" root dropped; a cell's value for a token of depth ``d``
+  (`` > `` count) is ``1 / (d + 1)`` — 1.0 for mains, 0.5 one level down;
+- author one-hot over the ``author_top_k`` most frequent, NaN -> Unknown;
+- numerics coerced to float, NaN imputed with the column mean, z-scored
+  (zero-std columns use std=1); title word/char counts likewise;
+- user features pool interacted items' rows (mean / sum / max).
+
+The reference builds these with per-row Python loops
+(``features.py:155-180,300-315``); here the category/author slabs are
+deduped index scatters and the user pooling is one sparse-incidence
+matmul, so 2M-interaction preprocessing stays off the critical path.
 """
 
 from __future__ import annotations
 
 import ast
-from collections import Counter
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -66,143 +69,182 @@ class FeatureMetadata:
         return names
 
 
-def _coerce_category_paths(
-    raw_value: str | float | Sequence[str] | None,
-) -> list[list[str]]:
-    """Normalise a raw category cell into a list of token paths.
+@dataclass
+class FeatureBlock:
+    """One feature family's column slab + its metadata contribution."""
 
-    Accepts stringified Python lists (the CSV format), plain comma-separated
-    strings, nested lists of paths, or single flat paths.
+    matrix: np.ndarray  # [num_items, width] float32
+    meta: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Category block
+# ---------------------------------------------------------------------------
+
+
+def _cell_to_paths(cell) -> list[list[str]]:
+    """A raw category cell -> list of token paths.
+
+    CSV cells are usually stringified Python lists; also accepted: plain
+    comma-separated strings, already-parsed (nested) lists, scalars.
     """
-    if raw_value is None or (isinstance(raw_value, float) and pd.isna(raw_value)):
+    if cell is None or (isinstance(cell, float) and pd.isna(cell)):
         return []
-    container = raw_value
-    if isinstance(raw_value, str):
-        text = raw_value.strip()
+    if isinstance(cell, str):
+        text = cell.strip()
         if not text:
             return []
         try:
-            container = ast.literal_eval(text)
+            cell = ast.literal_eval(text)
         except (ValueError, SyntaxError):
-            return [[part.strip() for part in text.split(",") if part.strip()]]
-    if not isinstance(container, list):
-        as_text = str(container).strip()
-        return [[as_text]] if as_text else []
+            cell = text.split(",")
+    if not isinstance(cell, list):
+        token = str(cell).strip()
+        return [[token]] if token else []
 
-    if container and all(isinstance(item, (list, tuple)) for item in container):
-        paths = []
-        for item in container:
-            path = [str(elem).strip() for elem in item if str(elem).strip()]
-            if path:
-                paths.append(path)
-        return paths
+    def clean(seq) -> list[str]:
+        return [s for s in (str(x).strip() for x in seq) if s]
 
-    flat_path = [str(item).strip() for item in container if str(item).strip()]
-    if flat_path:
-        return [flat_path]
-
-    return []
+    if cell and all(isinstance(x, (list, tuple)) for x in cell):
+        return [p for p in (clean(x) for x in cell) if p]
+    flat = clean(cell)
+    return [flat] if flat else []
 
 
-def parse_category_tokens(raw_value: str | float | Sequence[str] | None) -> list[str]:
-    """Parse a raw category field into hierarchical, root-stripped tokens.
+def parse_category_tokens(raw_value) -> list[str]:
+    """Hierarchical root-stripped tokens for one cell, deduped in order.
 
-    Emits the main category plus progressively deeper ``" > "``-joined paths,
-    deduplicated in order (e.g. ``["History", "History > Classic"]``).
+    Every path contributes its " > "-joined prefixes after dropping the
+    "Books" root: ``["Books", "History", "Classic"]`` ->
+    ``["History", "History > Classic"]``.
     """
-    tokens: list[str] = []
-    for path in _coerce_category_paths(raw_value):
-        filtered = [cat for cat in path if cat and cat.lower() != "books"]
-        if not filtered:
-            continue
-        main = filtered[0]
-        tokens.append(main)
-        for depth in range(1, len(filtered)):
-            tokens.append(" > ".join([main] + filtered[1 : depth + 1]))
-    seen: set[str] = set()
-    ordered: list[str] = []
-    for token in tokens:
-        if token not in seen:
-            seen.add(token)
-            ordered.append(token)
-    return ordered
+    out: dict[str, None] = {}  # insertion-ordered set
+    for path in _cell_to_paths(raw_value):
+        kept = [t for t in path if t.lower() != "books"]
+        for depth in range(len(kept)):
+            out.setdefault(" > ".join(kept[: depth + 1]))
+    return list(out)
 
 
-def _zscore(matrix: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """NaN-aware z-score: impute NaNs with the column mean, std=1 when zero."""
-    mean = np.nanmean(matrix, axis=0)
-    std = np.nanstd(matrix, axis=0)
-    std = np.where(std == 0, 1.0, std)
-    matrix = np.where(np.isnan(matrix), mean, matrix)
-    normalised = (matrix - mean) / std
-    return normalised.astype(np.float32), mean.astype(float), std.astype(float)
+def category_block(cells: Sequence, *, top_k: int) -> FeatureBlock:
+    """Depth-weighted multi-hot over the ``top_k`` most frequent tokens.
+
+    A token's weight is a pure function of the token (``1/(depth+1)``), so
+    duplicate (row, token) pairs are deduped and assigned directly — no
+    max-combine pass needed.
+    """
+    token_lists = [parse_category_tokens(c) for c in cells]
+    row_ids = np.fromiter(
+        (r for r, toks in enumerate(token_lists) for _ in toks),
+        dtype=np.int64,
+        count=sum(len(t) for t in token_lists),
+    )
+    flat = [t for toks in token_lists for t in toks]
+
+    meta = {"category_vocab": [], "category_depths": []}
+    if not flat:
+        return FeatureBlock(np.zeros((len(cells), 0), np.float32), meta)
+
+    codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+    counts = np.bincount(codes, minlength=len(uniques))
+    keep = np.argsort(-counts, kind="stable")[:top_k]  # most_common order
+    vocab = [str(uniques[i]) for i in keep]
+    col_of = np.full(len(uniques), -1, dtype=np.int64)
+    col_of[keep] = np.arange(len(keep))
+
+    cols = col_of[codes]
+    hit = cols >= 0
+    pair = row_ids[hit] * len(vocab) + cols[hit]
+    pair = np.unique(pair)
+
+    depths = np.asarray([t.count(" > ") for t in vocab], dtype=np.float32)
+    matrix = np.zeros((len(cells) * len(vocab),), dtype=np.float32)
+    matrix[pair] = (1.0 / (depths + 1.0))[pair % len(vocab)]
+    meta["category_vocab"] = vocab
+    meta["category_depths"] = [int(d) for d in depths]
+    return FeatureBlock(matrix.reshape(len(cells), len(vocab)), meta)
 
 
-def _build_category_matrix(
-    categories: Sequence[list[str]], *, top_k: int
-) -> tuple[np.ndarray, list[str], list[int]]:
-    counter: Counter[str] = Counter()
-    depth_lookup: dict[str, int] = {}
-    for values in categories:
-        for cat in values:
-            counter[cat] += 1
-            depth_lookup.setdefault(cat, cat.count(" > "))
-
-    vocab = [cat for cat, _ in counter.most_common(top_k) if cat]
-    if not vocab:
-        return np.zeros((len(categories), 0), dtype=np.float32), [], []
-
-    index = {cat: idx for idx, cat in enumerate(vocab)}
-    depths = np.asarray([depth_lookup[cat] for cat in vocab], dtype=np.float32)
-    weights = 1.0 / (depths + 1.0)
-
-    rows: list[int] = []
-    cols: list[int] = []
-    for row, values in enumerate(categories):
-        for cat in values:
-            idx = index.get(cat)
-            if idx is not None:
-                rows.append(row)
-                cols.append(idx)
-
-    matrix = np.zeros((len(categories), len(vocab)), dtype=np.float32)
-    if rows:
-        rows_arr = np.asarray(rows, dtype=np.int64)
-        cols_arr = np.asarray(cols, dtype=np.int64)
-        # max-combine duplicate (row, col) pairs like the reference's
-        # matrix[row, idx] = max(matrix[row, idx], weight)
-        np.maximum.at(matrix, (rows_arr, cols_arr), weights[cols_arr])
-
-    return matrix, vocab, [int(d) for d in depths]
+# ---------------------------------------------------------------------------
+# Author block
+# ---------------------------------------------------------------------------
 
 
-def _build_author_matrix(
-    authors: Sequence[str], *, top_k: int
-) -> tuple[np.ndarray, list[str]]:
-    series = pd.Series(authors).fillna("Unknown").astype(str)
-    counts = series.value_counts()
-    vocab = list(counts.head(top_k).index)
-    if not vocab:
-        return np.zeros((len(series), 0), dtype=np.float32), []
-    index = {author: idx for idx, author in enumerate(vocab)}
-    col = series.map(index).to_numpy()
+def author_block(cells: Sequence, *, top_k: int) -> FeatureBlock:
+    """One-hot over the ``top_k`` most frequent authors (NaN -> Unknown)."""
+    series = pd.Series(cells).fillna("Unknown").astype(str)
+    codes, uniques = pd.factorize(series, sort=False)
+    if len(uniques) == 0:
+        return FeatureBlock(
+            np.zeros((len(series), 0), np.float32), {"author_vocab": []}
+        )
+    counts = np.bincount(codes, minlength=len(uniques))
+    keep = np.argsort(-counts, kind="stable")[:top_k]
+    vocab = [str(uniques[i]) for i in keep]
+    col_of = np.full(len(uniques), -1, dtype=np.int64)
+    col_of[keep] = np.arange(len(keep))
+
     matrix = np.zeros((len(series), len(vocab)), dtype=np.float32)
-    valid = ~pd.isna(col)
-    rows = np.nonzero(valid)[0]
-    matrix[rows, col[valid].astype(np.int64)] = 1.0
-    return matrix, vocab
+    cols = col_of[codes]
+    rows = np.nonzero(cols >= 0)[0]
+    matrix[rows, cols[rows]] = 1.0
+    return FeatureBlock(matrix, {"author_vocab": vocab})
 
 
-def _compute_text_stats(
-    titles: Iterable[str],
-) -> tuple[np.ndarray, list[str], list[float], list[float]]:
-    series = pd.Series(list(titles))
-    text = series.where(~series.isna(), "").astype(str)
-    words = text.str.split().str.len().to_numpy(dtype=np.float32)
-    chars = text.str.len().to_numpy(dtype=np.float32)
-    matrix = np.stack([words, chars], axis=1)
-    normalised, mean, std = _zscore(matrix)
-    return normalised, ["title_word_count", "title_char_count"], mean.tolist(), std.tolist()
+# ---------------------------------------------------------------------------
+# Numeric + text blocks (shared standardiser)
+# ---------------------------------------------------------------------------
+
+
+def _standardise(matrix: np.ndarray) -> tuple[np.ndarray, list[float], list[float]]:
+    """NaN-aware z-score: impute with the column mean; zero stds become 1."""
+    mean = np.nanmean(matrix, axis=0)
+    std = np.where(np.nanstd(matrix, axis=0) == 0, 1.0, np.nanstd(matrix, axis=0))
+    filled = np.where(np.isnan(matrix), mean, matrix)
+    z = ((filled - mean) / std).astype(np.float32)
+    return z, [float(m) for m in mean], [float(s) for s in std]
+
+
+def numeric_block(books: pd.DataFrame, columns: Sequence[str]) -> FeatureBlock:
+    present = [c for c in columns if c in books]
+    if not present:
+        return FeatureBlock(
+            np.zeros((len(books), 0), np.float32),
+            {"numeric_columns": [], "numeric_mean": [], "numeric_std": []},
+        )
+    raw = books[present].apply(pd.to_numeric, errors="coerce")
+    z, mean, std = _standardise(raw.to_numpy(dtype=np.float32, copy=True))
+    return FeatureBlock(
+        z,
+        {"numeric_columns": present, "numeric_mean": mean, "numeric_std": std},
+    )
+
+
+def text_block(titles: Iterable[str]) -> FeatureBlock:
+    """Z-scored title word/char counts."""
+    text = pd.Series(list(titles))
+    text = text.where(~text.isna(), "").astype(str)
+    stacked = np.stack(
+        [
+            text.str.split().str.len().to_numpy(dtype=np.float32),
+            text.str.len().to_numpy(dtype=np.float32),
+        ],
+        axis=1,
+    )
+    z, mean, std = _standardise(stacked)
+    return FeatureBlock(
+        z,
+        {
+            "text_columns": ["title_word_count", "title_char_count"],
+            "text_mean": mean,
+            "text_std": std,
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composer
+# ---------------------------------------------------------------------------
 
 
 def build_item_feature_matrix(
@@ -211,58 +253,35 @@ def build_item_feature_matrix(
 ) -> tuple[np.ndarray, FeatureMetadata]:
     """Build the (num_items, feature_dim) float32 item feature matrix."""
     cfg = default_feature_config(feature_config)
+    n = len(books)
 
-    available_numeric = [col for col in cfg.get("numeric_columns", []) if col in books]
-    if available_numeric:
-        numeric_frame = books[available_numeric].apply(pd.to_numeric, errors="coerce")
-        numeric_values, num_mean, num_std = _zscore(
-            numeric_frame.to_numpy(dtype=np.float32, copy=True)
-        )
-        num_mean, num_std = list(num_mean), list(num_std)
-    else:
-        numeric_values = np.zeros((len(books), 0), dtype=np.float32)
-        num_mean, num_std = [], []
+    def col(name, default):
+        return books[name] if name in books else pd.Series([default] * n)
 
-    title_source = books["title"] if "title" in books else pd.Series([""] * len(books))
-    title_stats, text_columns, text_mean, text_std = _compute_text_stats(title_source)
+    blocks = [
+        category_block(
+            col("categories", []).tolist(),
+            top_k=int(cfg.get("category_top_k", 500)),
+        ),
+        author_block(
+            col("author", "Unknown").tolist(),
+            top_k=int(cfg.get("author_top_k", 500)),
+        ),
+        numeric_block(books, cfg.get("numeric_columns", [])),
+        text_block(col("title", "")),
+    ]
 
-    if "categories" in books:
-        raw_categories = books["categories"]
-    else:
-        raw_categories = pd.Series([[] for _ in range(len(books))])
-    category_lists = [parse_category_tokens(v) for v in raw_categories.tolist()]
-    category_matrix, category_vocab, category_depths = _build_category_matrix(
-        category_lists, top_k=int(cfg.get("category_top_k", 500))
-    )
-
-    author_source = (
-        books["author"] if "author" in books else pd.Series(["Unknown"] * len(books))
-    )
-    author_matrix, author_vocab = _build_author_matrix(
-        author_source.tolist(), top_k=int(cfg.get("author_top_k", 500))
-    )
-
-    parts = [category_matrix, author_matrix, numeric_values, title_stats]
-    nonempty = [part for part in parts if part.size > 0]
+    slabs = [b.matrix for b in blocks if b.matrix.shape[1] > 0]
     features = (
-        np.concatenate(nonempty, axis=1)
-        if nonempty
-        else np.zeros((len(books), 0), dtype=np.float32)
+        np.concatenate(slabs, axis=1).astype(np.float32, copy=False)
+        if slabs
+        else np.zeros((n, 0), dtype=np.float32)
     )
-
-    metadata = FeatureMetadata(
-        numeric_columns=available_numeric,
-        numeric_mean=num_mean,
-        numeric_std=num_std,
-        text_columns=text_columns,
-        text_mean=text_mean,
-        text_std=text_std,
-        category_vocab=category_vocab,
-        category_depths=category_depths,
-        author_vocab=author_vocab,
-        feature_dim=int(features.shape[1]),
-    )
-    return features.astype(np.float32, copy=False), metadata
+    merged: dict = {}
+    for b in blocks:
+        merged.update(b.meta)
+    metadata = FeatureMetadata(feature_dim=int(features.shape[1]), **merged)
+    return features, metadata
 
 
 def build_user_feature_matrix(
@@ -274,9 +293,9 @@ def build_user_feature_matrix(
 ) -> np.ndarray:
     """Pool interacted items' feature rows into per-user features.
 
-    Vectorised scatter-pool (``np.add.at`` / ``np.maximum.at``) replacing the
-    reference's per-user groupby loop (``features.py:300-315``); results are
-    numerically identical up to float accumulation order.
+    mean/sum run as ONE sparse user-x-item incidence matmul (BLAS-speed;
+    the reference loops users, ``features.py:300-315``, and ``np.add.at``
+    is ~1000x slower at 2M interactions); max is a scatter-max.
     """
     if item_features.size == 0:
         return np.zeros((num_users, 0), dtype=np.float32)
@@ -294,8 +313,6 @@ def build_user_feature_matrix(
     item_idx = interactions["item_idx"].to_numpy(dtype=np.int64)
 
     if agg in {"mean", "sum"}:
-        # Sparse user-x-item incidence matmul: duplicates sum, runs at
-        # BLAS-like speed (np.add.at is ~1000x slower at 2M interactions).
         from scipy import sparse
 
         incidence = sparse.csr_matrix(
