@@ -67,6 +67,19 @@ def _merge_topk(
 # Full-score materialisation budget: the 'wide' algorithm blocks its
 # queries so no [qb, N] score slab exceeds this.
 _SCORES_BYTES_BUDGET = 768 * 1024 * 1024
+# Ceiling used only by the auto algorithm chooser: group_exact remains
+# eligible until even a 64-query fp32 slab would exceed it (~8M items).
+_SCORES_BYTES_CEILING = 2 * 1024 * 1024 * 1024
+# Measured-at-scale block sizes (v5e, k=20, B=1024 — /tmp qb sweeps,
+# RESULTS.md round-3 serving study). Query-block size is NOT a simple
+# bandwidth tradeoff: bf16 peaks sharply at qb=96 at every blocked size
+# (500k: 160k q/s at 96 vs 104k at the budget formula's 402; 1M: 77k vs
+# 62k; 2M: 44k vs 29k at 192), while fp32 follows the budget formula
+# except at 2M where qb=96 sits in a cliff (20.6k) and qb=64 wins
+# (36.5k). Growing blocks to amortise the corpus re-read (256-query
+# minimum) was measured strictly WORSE everywhere — don't retry.
+_BF16_BLOCK_QUERIES = 96
+_FP32_SMALL_BLOCK = 64
 _GROUP = 128  # items per group (one lane tile; group_exact only)
 
 
@@ -158,8 +171,8 @@ def mips_topk(
     if algorithm == "auto":
         # group_exact with query blocking handles any batch; fall back to
         # the item-chunked scan only when even a 64-query score slab would
-        # blow the budget (corpora beyond ~3M items at the default budget).
-        fits = 64 * num_items * 4 <= _SCORES_BYTES_BUDGET
+        # blow the ceiling (corpora beyond ~8M items).
+        fits = 64 * num_items * 4 <= _SCORES_BYTES_CEILING
         algorithm = "group_exact" if fits else "chunked"
     if algorithm == "group_exact":
         return _group_exact_topk(
@@ -244,7 +257,7 @@ def _group_exact_topk(
     k_eff: int,
     mask_rows: jax.Array | None,
     num_items: int,
-    scores_bytes_budget: int = _SCORES_BYTES_BUDGET,
+    scores_bytes_budget: int | None = None,
     _select: str = "auto",
     use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -381,7 +394,19 @@ def _group_exact_topk(
         group_of = jnp.take_along_axis(gi, ci // g, axis=1)
         return cv, group_of * g + ci % g
 
-    qb = max(1, min(batch, scores_bytes_budget // (4 * padded_n)))
+    if scores_bytes_budget is None:
+        # Measured-at-scale auto policy (see the constants above).
+        formula = _SCORES_BYTES_BUDGET // (4 * padded_n)
+        if formula >= batch:
+            qb = batch  # slab fits whole: no blocking
+        elif slab_dtype == jnp.bfloat16:
+            qb = _BF16_BLOCK_QUERIES
+        else:
+            qb = formula if formula >= 128 else _FP32_SMALL_BLOCK
+        qb = max(1, min(batch, qb))
+    else:
+        slab_bytes_per_q = padded_n * (2 if slab_dtype == jnp.bfloat16 else 4)
+        qb = max(1, min(batch, scores_bytes_budget // slab_bytes_per_q))
     if qb >= batch:
         return block(queries, mask_rows)
 
