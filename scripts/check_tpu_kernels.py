@@ -116,6 +116,22 @@ def main() -> int:
         and np.allclose(np.asarray(s_x.v), np.asarray(s_p.v), atol=1e-6),
     )
 
+    # --- fused no-slab MIPS vs the slab group_exact path ---
+    items = jnp.asarray(rng.normal(0, 1, (200_000, 128)).astype(np.float32))
+    items = items / jnp.linalg.norm(items, axis=-1, keepdims=True)
+    queries = jnp.asarray(rng.normal(0, 1, (512, 128)).astype(np.float32))
+    sf, idf = mips_topk(
+        queries, items, k=20, normalize_queries=True, algorithm="fused"
+    )
+    sg, idg = mips_topk(
+        queries, items, k=20, normalize_queries=True, algorithm="group_exact"
+    )
+    check(
+        "fused MIPS == group_exact (indices exact, scores atol 1e-5)",
+        np.array_equal(np.asarray(idf), np.asarray(idg))
+        and np.allclose(np.asarray(sf), np.asarray(sg), atol=1e-5),
+    )
+
     print(f"{failures} failure(s)")
     return 1 if failures else 0
 

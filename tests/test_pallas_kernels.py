@@ -236,3 +236,42 @@ class TestSelectTopKFromGroups:
         sg_, ig_ = _group_exact_topk(q, items, 5, None, 300, _select="gather")
         np.testing.assert_array_equal(np.asarray(se), np.asarray(sg_))
         np.testing.assert_array_equal(np.asarray(ie), np.asarray(ig_))
+
+
+def test_fused_groupmax_topk_matches_dense_reference():
+    """The no-slab fused MIPS path (interpret-mode kernels) must reproduce
+    the exact dense ranking: group maxima prune, rescore recovers exact
+    scores, safety groups absorb tiling-rounding differences."""
+    from ttamm_tpu.ops.topk import _fused_groupmax_topk
+
+    rng = np.random.default_rng(5)
+    for n, b, k in ((5000, 70, 20), (4096, 128, 5), (3000, 16, 64)):
+        d = 64
+        items = rng.normal(0, 1, (n, d)).astype(np.float32)
+        queries = rng.normal(0, 1, (b, d)).astype(np.float32)
+        s, i = _fused_groupmax_topk(
+            jnp.asarray(queries), jnp.asarray(items), k, n,
+            use_pallas=False, interpret=True,
+        )
+        # Reference uses the same bf16-input / f32-accumulation score
+        # semantics as the kernels (and as XLA's default TPU matmul).
+        q16 = np.asarray(jnp.asarray(queries).astype(jnp.bfloat16).astype(jnp.float32))
+        i16 = np.asarray(jnp.asarray(items).astype(jnp.bfloat16).astype(jnp.float32))
+        full = q16 @ i16.T
+        exp_i = np.argsort(-full, axis=1)[:, :k]
+        exp_s = np.take_along_axis(full, exp_i, axis=1)
+        assert np.allclose(np.asarray(s), exp_s, atol=1e-5)
+        assert np.array_equal(np.asarray(i), exp_i)
+
+
+def test_fused_algorithm_rejects_mask_rows():
+    from ttamm_tpu.ops.topk import mips_topk
+
+    rng = np.random.default_rng(6)
+    items = jnp.asarray(rng.normal(0, 1, (256, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(0, 1, (4, 16)).astype(np.float32))
+    mask = jnp.zeros((4, 2), jnp.int32)
+    import pytest
+
+    with pytest.raises(ValueError, match="fused"):
+        mips_topk(q, items, k=5, mask_rows=mask, algorithm="fused")

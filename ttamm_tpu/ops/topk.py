@@ -117,12 +117,17 @@ def mips_topk(
         (``training.py:958-968``) since its search depth always covers the
         blocked count.
     normalize_queries: L2-normalise queries first (cosine mode).
-    algorithm: 'auto' | 'group_exact' | 'chunked'. ``group_exact`` (the
-        ``auto`` choice) is the group-max-pruned algorithm, blocked over
-        query sub-batches so each score slab fits the budget (see
-        :func:`_group_exact_topk`). ``chunked`` is the item-chunk
-        scan+merge with O(B*chunk) score memory, for corpora where even a
-        64-query score slab would blow the budget. (A full-row
+    algorithm: 'auto' | 'group_exact' | 'chunked' | 'fused'.
+        ``group_exact`` (the ``auto`` choice) is the group-max-pruned
+        algorithm, blocked over query sub-batches so each score slab fits
+        the budget (see :func:`_group_exact_topk`). ``chunked`` is the
+        item-chunk scan+merge with O(B*chunk) score memory, for corpora
+        where even a 64-query score slab would blow the budget.
+        ``fused`` (TPU only, no ``mask_rows``) never materialises the
+        score slab: a Pallas matmul+group-max kernel streams the corpus
+        through VMEM and only the winning groups' rows are re-scored
+        (:func:`_fused_groupmax_topk`) — same ranking as ``group_exact``
+        (verified bit-consistent on v5e at 300k items). (A full-row
         ``lax.top_k`` over [B, N] — no grouping — was measured 25x SLOWER
         at B=1024, N=100k on v5e once the *indices* are consumed: XLA
         lowers index-producing top-k over wide rows to a key-value sort.
@@ -166,14 +171,40 @@ def mips_topk(
         item_embeddings = item_embeddings.astype(jnp.bfloat16)
 
     k_eff = min(k, num_items)
-    if algorithm not in {"auto", "group_exact", "chunked"}:
+    if algorithm not in {"auto", "group_exact", "chunked", "fused"}:
         raise ValueError(f"Unknown mips_topk algorithm: {algorithm}")
     if algorithm == "auto":
-        # group_exact with query blocking handles any batch; fall back to
-        # the item-chunked scan only when even a 64-query score slab would
-        # blow the ceiling (corpora beyond ~8M items).
-        fits = 64 * num_items * 4 <= _SCORES_BYTES_CEILING
-        algorithm = "group_exact" if fits else "chunked"
+        # Measured crossovers on v5e (B=1024, k=20; RESULTS.md round 3):
+        # the no-slab fused kernel wins fp32 from ~400k items (114k vs
+        # 74k q/s at 500k, 2x at 2M) and bf16 from ~750k (the bf16 slab
+        # is unbeatable smaller: 230k q/s at 300k); it needs Mosaic and
+        # cannot honor per-query masks (eval), so those fall through to
+        # the slab algorithms. Beyond the slab ceiling (~8M items fp32)
+        # fused handles any corpus the chip can hold.
+        fused_ok = (
+            mask_rows is None
+            and use_pallas
+            and jax.default_backend() == "tpu"
+        )
+        fused_min = (
+            750_000 if queries.dtype == jnp.bfloat16 else 400_000
+        )
+        if fused_ok and num_items >= fused_min:
+            algorithm = "fused"
+        else:
+            fits = 64 * num_items * 4 <= _SCORES_BYTES_CEILING
+            algorithm = "group_exact" if fits else "chunked"
+    if algorithm == "fused":
+        if mask_rows is not None:
+            raise ValueError(
+                "mips_topk algorithm='fused' does not support mask_rows "
+                "(per-query masking breaks the group-max pruning bound; "
+                "it is the serving path — eval uses group_exact/chunked)"
+            )
+        return _fused_groupmax_topk(
+            queries, item_embeddings, k_eff, num_items,
+            use_pallas=use_pallas,
+        )
     if algorithm == "group_exact":
         return _group_exact_topk(
             queries, item_embeddings, k_eff, mask_rows, num_items,
@@ -231,6 +262,87 @@ def mips_topk(
     chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
     (scores, indices), _ = jax.lax.scan(scan_body, init, (items_t, chunk_starts))
     return scores, indices
+
+
+def _fused_groupmax_topk(
+    queries: jax.Array,
+    item_embeddings: jax.Array,
+    k_eff: int,
+    num_items: int,
+    *,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    safety_groups: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """No-slab exact top-k: fused matmul+group-max kernel + group rescore.
+
+    Phase 1 (``ops/pallas/fused_mips.groupmax_matmul``) streams the corpus
+    through VMEM and writes only per-group maxima — the [B, N] score slab
+    never exists in HBM, collapsing the large-corpus search from
+    slab-write + corpus-re-read bound (~24 GB/1024 fp32 queries at 2M
+    items) to ~corpus + candidates (~2.3 GB). Phase 2 takes the top
+    ``k_eff + safety_groups`` groups per query (phase-1 maxima and
+    phase-3 re-scores come from differently-tiled dots, so they can
+    disagree by reassociation ULPs — the safety groups keep the pruning
+    bound robust against that; the group-count bound itself needs only
+    ``k_eff``). Phase 3 (``rescore_groups``) DMA-gathers exactly the
+    winning groups' item rows and re-scores them; phase 4 is the ordinary
+    narrow top-k.
+
+    Serving-path only (no ``mask_rows``: masked items inside a group
+    would invalidate the group-max bound for unmasked ones).
+    """
+    from .pallas.fused_mips import _COLS, _QMAX, GROUP as FGROUP
+    from .pallas.fused_mips import groupmax_matmul, rescore_groups
+
+    batch, dim = queries.shape
+    npad = -(-num_items // _COLS) * _COLS
+    if npad != item_embeddings.shape[0]:
+        pad = jnp.zeros(
+            (npad - item_embeddings.shape[0], dim), item_embeddings.dtype
+        )
+        item_embeddings = jnp.concatenate([item_embeddings, pad], axis=0)
+    qpad = -(-batch // 128) * 128
+    qp = queries
+    if qpad != batch:
+        qp = jnp.concatenate(
+            [queries, jnp.zeros((qpad - batch, dim), queries.dtype)]
+        )
+
+    if qpad <= _QMAX:
+        gmax = groupmax_matmul(
+            qp, item_embeddings, num_items=num_items, interpret=interpret
+        )  # [qpad, npad / FGROUP] f32
+    else:
+        # The kernel keeps all queries resident in VMEM; chunk larger
+        # batches (each chunk still reads the corpus exactly once).
+        chunks = [
+            groupmax_matmul(
+                qp[start : start + _QMAX],
+                item_embeddings,
+                num_items=num_items,
+                interpret=interpret,
+            )
+            for start in range(0, qpad, _QMAX)
+        ]
+        gmax = jnp.concatenate(chunks, axis=0)
+    ng = npad // FGROUP
+    kg = min(k_eff + safety_groups, ng)
+    _, gi = _row_topk(gmax, kg, use_pallas and not interpret)
+    cand = rescore_groups(
+        qp,
+        item_embeddings.reshape(ng, FGROUP, dim),
+        gi,
+        interpret=interpret,
+    )  # [qpad, kg * FGROUP] f32
+    iota = jnp.arange(FGROUP, dtype=jnp.int32)
+    cand_ids = (
+        gi[:, :, None] * FGROUP + iota[None, None, :]
+    ).reshape(qpad, kg * FGROUP)
+    cand = jnp.where(cand_ids < num_items, cand, NEG_INF)
+    cv, ci = _row_topk(cand, k_eff, use_pallas and not interpret)
+    idx = jnp.take_along_axis(cand_ids, ci, axis=-1)
+    return cv[:batch], idx[:batch]
 
 
 def _mask_scatter(scores: jax.Array, mask_rows: jax.Array) -> jax.Array:
