@@ -140,11 +140,7 @@ def build_training_dataset(
     user_codes_final, user_uniques = pd.factorize(
         interactions["userId"].to_numpy(), use_na_sentinel=False
     )
-    user_index_to_id = [str(v) for v in np.asarray(user_uniques)]
-    user_mapping = IndexMapping(
-        id_to_index={v: i for i, v in enumerate(user_index_to_id)},
-        index_to_id=user_index_to_id,
-    )
+    user_mapping = IndexMapping.from_uniques(np.asarray(user_uniques))
 
     interactions["item_idx"] = item_idx_values.astype("int64")
     interactions["user_idx"] = user_codes_final.astype("int64")
