@@ -334,6 +334,48 @@ def main() -> None:
             "scale_mimic_optimizer": "sparse_row_adam",
         }
 
+        # Serving top-K at corpus scale (the fused no-slab kernel path).
+        item_emb2 = encode_corpus(
+            state_s, data_s, cfg2, "item", num_rows=scale_items
+        )
+        item_emb2 = item_emb2 / jnp.maximum(
+            jnp.linalg.norm(item_emb2, axis=-1, keepdims=True), 1e-12
+        )
+        del state_s, data_s
+        scale_q = jnp.asarray(
+            rng.normal(0, 1, (20, qbatch, dim)).astype(np.float32)
+        )
+
+        def time_scale_queries(score_dtype):
+            @jax.jit
+            def run_queries(qs, emb):
+                def body(carry, q):
+                    q = q + 0.0 * carry
+                    s, idx = mips_topk(
+                        q, emb, k=20, normalize_queries=True,
+                        score_dtype=score_dtype,
+                    )
+                    return s[:, :1], idx
+
+                return jax.lax.scan(
+                    body, jnp.zeros((qbatch, 1), jnp.float32), qs
+                )
+
+            _, idx = run_queries(scale_q, item_emb2)
+            _sync(idx[:, :1, :1])
+            best_q = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, idx = run_queries(scale_q, item_emb2)
+                _sync(idx[:, :1, :1])
+                best_q = min(best_q, time.perf_counter() - t0)
+            return round(20 * qbatch / best_q, 1)
+
+        scale_extra["scale_topk_queries_per_s"] = time_scale_queries("float32")
+        scale_extra["scale_topk_bf16_queries_per_s"] = time_scale_queries(
+            "bfloat16"
+        )
+
     result = {
         "metric": "training examples/s/chip",
         "value": round(examples_per_s / max(n_devices, 1), 1),
