@@ -450,3 +450,33 @@ def test_mips_topk_bfloat16_chunked_matches_group_exact():
     np.testing.assert_array_equal(
         np.take_along_axis(slab, np.asarray(ic), axis=1), np.asarray(sc)
     )
+
+
+def test_mips_topk_num_valid_rows_matches_unpadded():
+    """A corpus pre-padded to tile multiples with num_valid_rows set must
+    return exactly the unpadded search's results (pad rows never appear,
+    even when real scores are all negative and the zero pad rows would
+    otherwise win)."""
+    from ttamm_tpu.ops.topk import mips_topk
+
+    rng = np.random.default_rng(17)
+    n, d = 300, 16
+    items = rng.normal(-2, 0.5, (n, d)).astype(np.float32)  # negative-ish
+    queries = rng.normal(0, 1, (7, d)).astype(np.float32)
+    padded = np.concatenate(
+        [items, np.zeros((2048 - n, d), np.float32)]
+    )
+    for algorithm in ("group_exact", "chunked"):
+        s0, i0 = mips_topk(
+            jnp.asarray(queries), jnp.asarray(items), k=9,
+            algorithm=algorithm, chunk_size=64,
+        )
+        s1, i1 = mips_topk(
+            jnp.asarray(queries), jnp.asarray(padded), k=9,
+            num_valid_rows=n, algorithm=algorithm, chunk_size=64,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), atol=1e-6
+        )
+        assert np.asarray(i1).max() < n

@@ -83,11 +83,28 @@ _FP32_SMALL_BLOCK = 64
 _GROUP = 128  # items per group (one lane tile; group_exact only)
 
 
+def _fit_rows(items: jax.Array, rows: int) -> jax.Array:
+    """Slice or zero-pad ``items`` to exactly ``rows`` leading rows.
+
+    A leading-row slice of a pre-padded corpus fuses into the consuming
+    matmul (no copy); the pad branch is the one that copies — callers
+    that search repeatedly should pre-pad once and pass
+    ``num_valid_rows`` (see FlatIndex).
+    """
+    if items.shape[0] == rows:
+        return items
+    if items.shape[0] > rows:
+        return items[:rows]
+    return jnp.concatenate(
+        [items, jnp.zeros((rows - items.shape[0], items.shape[1]), items.dtype)]
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "k", "chunk_size", "normalize_queries", "algorithm", "use_pallas",
-        "score_dtype",
+        "score_dtype", "num_valid_rows",
     ),
 )
 def mips_topk(
@@ -95,6 +112,7 @@ def mips_topk(
     item_embeddings: jax.Array,
     *,
     k: int,
+    num_valid_rows: int | None = None,
     chunk_size: int = 8192,
     mask_rows: jax.Array | None = None,
     normalize_queries: bool = False,
@@ -148,12 +166,21 @@ def mips_topk(
         100k-item corpora (only near-boundary ties flip). Use for serving
         throughput; keep fp32 for eval-metric parity.
 
+    num_valid_rows: treat only the first N rows of ``item_embeddings`` as
+        real items (the rest is padding, never returned). Lets callers
+        pre-pad the corpus ONCE to the algorithms' tile multiples so the
+        per-call pad-concat (a full corpus copy) disappears — a leading
+        slice of a pre-padded buffer fuses into the score matmul.
+
     Returns
     -------
     (scores [B, k], indices [B, k]) sorted descending per row; scores are
     float32 in both modes (bf16 scores are widened on return).
     """
-    num_items, dim = item_embeddings.shape
+    num_items = (
+        item_embeddings.shape[0] if num_valid_rows is None else num_valid_rows
+    )
+    dim = item_embeddings.shape[1]
     batch = queries.shape[0]
     if use_pallas is None:
         # The small-k extraction kernel needs Mosaic; results are
@@ -214,10 +241,9 @@ def mips_topk(
     num_chunks = -(-num_items // chunk)
     padded = num_chunks * chunk
 
-    # Pad the corpus to a whole number of chunks; padding rows score -inf.
-    if padded != num_items:
-        pad = jnp.zeros((padded - num_items, dim), item_embeddings.dtype)
-        item_embeddings = jnp.concatenate([item_embeddings, pad], axis=0)
+    # Fit the corpus to a whole number of chunks (slice a pre-padded
+    # buffer or zero-pad); rows beyond num_items score -inf.
+    item_embeddings = _fit_rows(item_embeddings, padded)
 
     items_t = item_embeddings.T.reshape(dim, num_chunks, chunk).transpose(1, 0, 2)
 
@@ -297,11 +323,7 @@ def _fused_groupmax_topk(
 
     batch, dim = queries.shape
     npad = -(-num_items // _COLS) * _COLS
-    if npad != item_embeddings.shape[0]:
-        pad = jnp.zeros(
-            (npad - item_embeddings.shape[0], dim), item_embeddings.dtype
-        )
-        item_embeddings = jnp.concatenate([item_embeddings, pad], axis=0)
+    item_embeddings = _fit_rows(item_embeddings, npad)
     qpad = -(-batch // 128) * 128
     qp = queries
     if qpad != batch:
@@ -409,9 +431,7 @@ def _group_exact_topk(
     g = _GROUP
     ng = -(-num_items // g)
     padded_n = ng * g
-    if padded_n != num_items:
-        ipad = jnp.zeros((padded_n - num_items, dim), item_embeddings.dtype)
-        item_embeddings = jnp.concatenate([item_embeddings, ipad], axis=0)
+    item_embeddings = _fit_rows(item_embeddings, padded_n)
     items_t = item_embeddings.T  # loop-invariant; hoisted out of any scan
     k_groups = min(k_eff, ng)
 

@@ -130,11 +130,29 @@ class FlatIndex:
         except Exception:
             return None
         emb = getattr(self, "_device_emb", None)
-        if emb is None or emb.shape[0] != len(self):
-            emb = jax.device_put(self.embeddings)
+        # Cache the corpus PRE-PADDED to the search algorithms' widest
+        # tile multiple (2048: the fused kernel's corpus stripe; 128-group
+        # and chunk boundaries divide it). With num_valid_rows the search
+        # slices instead of pad-concatenating — the per-call full-corpus
+        # copy (~2.4 ms/GB) disappears.
+        padded_rows = -(-len(self) // 2048) * 2048
+        if emb is None or emb.shape[0] != padded_rows:
+            host = np.ascontiguousarray(self.embeddings, dtype=np.float32)
+            if padded_rows != host.shape[0]:
+                host = np.concatenate(
+                    [
+                        host,
+                        np.zeros(
+                            (padded_rows - host.shape[0], host.shape[1]),
+                            np.float32,
+                        ),
+                    ]
+                )
+            emb = jax.device_put(host)
             self._device_emb = emb
         scores, idx = mips_topk(
-            jnp.asarray(queries), emb, k=k, score_dtype=self.score_dtype
+            jnp.asarray(queries), emb, k=k, score_dtype=self.score_dtype,
+            num_valid_rows=len(self),
         )
         return (
             np.asarray(jax.device_get(scores)),
