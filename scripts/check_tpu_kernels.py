@@ -131,6 +131,20 @@ def main() -> int:
         np.array_equal(np.asarray(idf), np.asarray(idg))
         and np.allclose(np.asarray(sf), np.asarray(sg), atol=1e-5),
     )
+    mask = jnp.asarray(rng.integers(0, 200_000, (512, 8)).astype(np.int32))
+    smf, imf = mips_topk(
+        queries, items, k=20, normalize_queries=True, mask_rows=mask,
+        algorithm="fused",
+    )
+    smg, img = mips_topk(
+        queries, items, k=20, normalize_queries=True, mask_rows=mask,
+        algorithm="group_exact",
+    )
+    check(
+        "fused MIPS masked == group_exact masked (indices exact)",
+        np.array_equal(np.asarray(imf), np.asarray(img))
+        and np.allclose(np.asarray(smf), np.asarray(smg), atol=1e-5),
+    )
 
     print(f"{failures} failure(s)")
     return 1 if failures else 0

@@ -264,14 +264,34 @@ def test_fused_groupmax_topk_matches_dense_reference():
         assert np.array_equal(np.asarray(i), exp_i)
 
 
-def test_fused_algorithm_rejects_mask_rows():
-    from ttamm_tpu.ops.topk import mips_topk
+def test_fused_masked_matches_dense_reference():
+    """Masked fused search: the top k+M+safety groups by unmasked maxima
+    provably contain every top-k unblocked item; blocked candidates are
+    masked at the rescored stage. Must equal the dense masked ranking."""
+    from ttamm_tpu.ops.topk import _fused_groupmax_topk
 
     rng = np.random.default_rng(6)
-    items = jnp.asarray(rng.normal(0, 1, (256, 16)).astype(np.float32))
-    q = jnp.asarray(rng.normal(0, 1, (4, 16)).astype(np.float32))
-    mask = jnp.zeros((4, 2), jnp.int32)
-    import pytest
+    n, b, k, m = 4000, 24, 10, 6
+    d = 32
+    items = rng.normal(0, 1, (n, d)).astype(np.float32)
+    queries = rng.normal(0, 1, (b, d)).astype(np.float32)
+    # Block each query's would-be winners to force mask-driven reordering.
+    q16 = np.asarray(jnp.asarray(queries).astype(jnp.bfloat16).astype(jnp.float32))
+    i16 = np.asarray(jnp.asarray(items).astype(jnp.bfloat16).astype(jnp.float32))
+    full = q16 @ i16.T
+    mask = np.argsort(-full, axis=1)[:, :m].astype(np.int32)
+    mask[0, -1] = n  # sentinel padding id must be a no-op
 
-    with pytest.raises(ValueError, match="fused"):
-        mips_topk(q, items, k=5, mask_rows=mask, algorithm="fused")
+    s, i = _fused_groupmax_topk(
+        jnp.asarray(queries), jnp.asarray(items), k, n,
+        mask_rows=jnp.asarray(mask),
+        use_pallas=False, interpret=True,
+    )
+    blocked = full.copy()
+    rowix = np.arange(b)[:, None]
+    valid_mask = mask < n
+    blocked[rowix.repeat(m, 1)[valid_mask], mask[valid_mask]] = -np.inf
+    exp_i = np.argsort(-blocked, axis=1)[:, :k]
+    exp_s = np.take_along_axis(blocked, exp_i, axis=1)
+    assert np.array_equal(np.asarray(i), exp_i)
+    assert np.allclose(np.asarray(s), exp_s, atol=1e-5)

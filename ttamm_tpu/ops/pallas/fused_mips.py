@@ -120,7 +120,7 @@ def groupmax_matmul(
 
 
 def _rescore_kernel(
-    gids_ref,  # scalar-prefetch [B, KG] int32 — selected group ids
+    gids_ref,  # SMEM [RQ, KG] int32 — this step's selected group ids
     q_ref,  # [RQ, D] VMEM — this step's query rows
     items_ref,  # ANY (HBM) [NG, GROUP, D] group-major corpus
     out_ref,  # [RQ, KG * GROUP] VMEM — candidate scores
@@ -129,13 +129,12 @@ def _rescore_kernel(
     *,
     k_groups: int,
 ):
-    step = pl.program_id(0)
     d = q_ref.shape[1]
 
     def start(row, buf):
         for s in range(k_groups):
             pltpu.make_async_copy(
-                items_ref.at[gids_ref[step * _RQ + row, s]],
+                items_ref.at[gids_ref[row, s]],
                 blocks.at[buf, s],
                 sems.at[buf, s],
             ).start()
@@ -143,7 +142,7 @@ def _rescore_kernel(
     def wait(row, buf):
         for s in range(k_groups):
             pltpu.make_async_copy(
-                items_ref.at[gids_ref[step * _RQ + row, s]],
+                items_ref.at[gids_ref[row, s]],
                 blocks.at[buf, s],
                 sems.at[buf, s],
             ).wait()
@@ -187,23 +186,25 @@ def rescore_groups(
     b, d = queries.shape
     kg = gids.shape[1]
     assert b % _RQ == 0, f"queries rows {b} not a multiple of {_RQ}"
+    # gids arrive as a BLOCKED SMEM operand (one [RQ, KG] slice per grid
+    # step) rather than scalar-prefetch of the whole table: eval-sized
+    # batches (2048 queries x 30+ groups) overflow SMEM if prefetched
+    # wholesale.
     return pl.pallas_call(
         functools.partial(_rescore_kernel, k_groups=kg),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b // _RQ,),
-            in_specs=[
-                pl.BlockSpec((_RQ, d), lambda i, gids_ref: (i, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (_RQ, kg * GROUP), lambda i, gids_ref: (i, 0)
+        grid=(b // _RQ,),
+        in_specs=[
+            pl.BlockSpec(
+                (_RQ, kg), lambda i: (i, 0), memory_space=pltpu.SMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((_NBUF, kg, GROUP, d), items_grouped.dtype),
-                pltpu.SemaphoreType.DMA((_NBUF, kg)),
-            ],
-        ),
+            pl.BlockSpec((_RQ, d), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((_RQ, kg * GROUP), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, kg, GROUP, d), items_grouped.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF, kg)),
+        ],
         out_shape=jax.ShapeDtypeStruct((b, kg * GROUP), jnp.float32),
         interpret=interpret,
     )(gids.astype(jnp.int32), queries, items_grouped)

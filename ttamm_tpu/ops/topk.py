@@ -141,11 +141,13 @@ def mips_topk(
         the budget (see :func:`_group_exact_topk`). ``chunked`` is the
         item-chunk scan+merge with O(B*chunk) score memory, for corpora
         where even a 64-query score slab would blow the budget.
-        ``fused`` (TPU only, no ``mask_rows``) never materialises the
-        score slab: a Pallas matmul+group-max kernel streams the corpus
-        through VMEM and only the winning groups' rows are re-scored
+        ``fused`` (TPU only) never materialises the score slab: a
+        Pallas matmul+group-max kernel streams the corpus through VMEM
+        and only the winning groups' rows are re-scored
         (:func:`_fused_groupmax_topk`) — same ranking as ``group_exact``
-        (verified bit-consistent on v5e at 300k items). (A full-row
+        (verified bit-consistent on v5e at 300k items). Masked searches
+        stay exact by selecting M extra groups (auto routes them here
+        only for masks up to 32 wide — the rescore cost grows with M). (A full-row
         ``lax.top_k`` over [B, N] — no grouping — was measured 25x SLOWER
         at B=1024, N=100k on v5e once the *indices* are consumed: XLA
         lowers index-producing top-k over wide rows to a key-value sort.
@@ -208,10 +210,13 @@ def mips_topk(
         # cannot honor per-query masks (eval), so those fall through to
         # the slab algorithms. Beyond the slab ceiling (~8M items fp32)
         # fused handles any corpus the chip can hold.
+        # Masked searches stay exact under fused with M extra selected
+        # groups (see _fused_groupmax_topk); the rescore cost grows with
+        # M, so route them here only for narrow masks.
         fused_ok = (
-            mask_rows is None
-            and use_pallas
+            use_pallas
             and jax.default_backend() == "tpu"
+            and (mask_rows is None or mask_rows.shape[1] <= 32)
         )
         fused_min = (
             750_000 if queries.dtype == jnp.bfloat16 else 400_000
@@ -222,15 +227,9 @@ def mips_topk(
             fits = 64 * num_items * 4 <= _SCORES_BYTES_CEILING
             algorithm = "group_exact" if fits else "chunked"
     if algorithm == "fused":
-        if mask_rows is not None:
-            raise ValueError(
-                "mips_topk algorithm='fused' does not support mask_rows "
-                "(per-query masking breaks the group-max pruning bound; "
-                "it is the serving path — eval uses group_exact/chunked)"
-            )
         return _fused_groupmax_topk(
             queries, item_embeddings, k_eff, num_items,
-            use_pallas=use_pallas,
+            mask_rows=mask_rows, use_pallas=use_pallas,
         )
     if algorithm == "group_exact":
         return _group_exact_topk(
@@ -296,6 +295,7 @@ def _fused_groupmax_topk(
     k_eff: int,
     num_items: int,
     *,
+    mask_rows: jax.Array | None = None,
     use_pallas: bool = True,
     interpret: bool = False,
     safety_groups: int = 4,
@@ -315,8 +315,16 @@ def _fused_groupmax_topk(
     winning groups' item rows and re-scores them; phase 4 is the ordinary
     narrow top-k.
 
-    Serving-path only (no ``mask_rows``: masked items inside a group
-    would invalidate the group-max bound for unmasked ones).
+    ``mask_rows`` ([B, M] blocked item ids, sentinel >= num_items) is
+    supported by widening the selection: the top ``k_eff + M +
+    safety_groups`` groups by UNMASKED maxima provably contain every
+    top-``k_eff`` unblocked item — let s* be the k_eff-th best unblocked
+    score; a group with max >= s* contains an item scoring >= s*, and at
+    most ``k_eff`` unblocked + ``M`` blocked items score >= s*, so at
+    most ``k_eff + M`` groups rank above any group holding a top
+    unblocked item. Blocked candidates are then masked at the re-scored
+    [B, KG*G] stage. Cost grows with M (M extra rescored groups/query),
+    so the auto policy only routes masked searches here for small M.
     """
     from .pallas.fused_mips import _COLS, _QMAX, GROUP as FGROUP
     from .pallas.fused_mips import groupmax_matmul, rescore_groups
@@ -349,7 +357,8 @@ def _fused_groupmax_topk(
         ]
         gmax = jnp.concatenate(chunks, axis=0)
     ng = npad // FGROUP
-    kg = min(k_eff + safety_groups, ng)
+    mask_extra = 0 if mask_rows is None else mask_rows.shape[1]
+    kg = min(k_eff + mask_extra + safety_groups, ng)
     _, gi = _row_topk(gmax, kg, use_pallas and not interpret)
     cand = rescore_groups(
         qp,
@@ -361,7 +370,24 @@ def _fused_groupmax_topk(
     cand_ids = (
         gi[:, :, None] * FGROUP + iota[None, None, :]
     ).reshape(qpad, kg * FGROUP)
-    cand = jnp.where(cand_ids < num_items, cand, NEG_INF)
+    valid = cand_ids < num_items
+    if mask_rows is not None:
+        mask_pad = mask_rows.astype(jnp.int32)
+        if qpad != batch:
+            mask_pad = jnp.concatenate(
+                [
+                    mask_pad,
+                    jnp.full(
+                        (qpad - batch, mask_pad.shape[1]), num_items,
+                        jnp.int32,
+                    ),
+                ]
+            )
+        blocked = jnp.any(
+            cand_ids[:, :, None] == mask_pad[:, None, :], axis=-1
+        )
+        valid = valid & ~blocked
+    cand = jnp.where(valid, cand, NEG_INF)
     cv, ci = _row_topk(cand, k_eff, use_pallas and not interpret)
     idx = jnp.take_along_axis(cand_ids, ci, axis=-1)
     return cv[:batch], idx[:batch]
