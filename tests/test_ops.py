@@ -480,3 +480,25 @@ def test_mips_topk_num_valid_rows_matches_unpadded():
             np.asarray(s0), np.asarray(s1), atol=1e-6
         )
         assert np.asarray(i1).max() < n
+
+
+def test_fused_large_k_reroutes_to_slab():
+    """A k whose fused-rescore VMEM buffers exceed the ceiling must fall
+    back to the slab algorithms instead of dying inside Mosaic (ADVICE
+    r3). On CPU the reroute is also what makes explicit 'fused' runnable
+    here at all (the kernels need a TPU)."""
+    from ttamm_tpu.ops.topk import _fused_rescore_fits
+
+    # Typical serving shape fits; a 128-deep search over D=512 does not.
+    assert _fused_rescore_fits(20, 0, 2000, 128, 4)
+    assert not _fused_rescore_fits(128, 0, 2000, 512, 4)
+
+    rng = np.random.default_rng(7)
+    items = rng.normal(0, 1, (17408, 512)).astype(np.float32)
+    queries = rng.normal(0, 1, (8, 512)).astype(np.float32)
+    scores, idx = mips_topk(
+        jnp.asarray(queries), jnp.asarray(items), k=128, algorithm="fused"
+    )
+    full = queries @ items.T
+    expected_idx = np.argsort(-full, axis=1)[:, :128]
+    assert np.array_equal(np.asarray(idx), expected_idx)

@@ -198,3 +198,60 @@ def test_missing_leaf_raises(tmp_path):
     _, _, template = _placed_state(seed=1)
     with pytest.raises(ValueError, match="no pieces"):
         load_sharded_checkpoint(path, template)
+
+
+def test_stale_shard_files_pruned_and_ignored(tmp_path):
+    """Re-saving into a directory that holds shard files from a run with
+    MORE processes must neither fail coverage validation nor restore the
+    stale rows (ADVICE r3: the 'best'/'last' checkpoint became unloadable
+    after the process count shrank)."""
+    _, _, state = _placed_state(seed=0)
+    path = save_sharded_checkpoint(
+        tmp_path, state, experiment_name="exp", epoch=1,
+        metric_name="loss", metric_value=0.5,
+        template="{experiment}_best.pt",
+    )
+    # Forge a stale higher-index shard file (as a previous 2-process save
+    # would leave behind) whose pieces OVERLAP this save's.
+    first = np.load(path / "shards_p00000.npz", allow_pickle=False)
+    stale = {k: np.full_like(v, 123.0) for k, v in dict(first).items()}
+    first.close()
+    with open(path / "shards_p00001.npz", "wb") as handle:
+        np.savez(handle, **stale)
+
+    # Restore must ignore it (manifest says num_processes == 1).
+    _, _, template = _placed_state(seed=1)
+    restored, _ = load_sharded_checkpoint(path, template)
+    _assert_states_equal(state, restored)
+
+    # A fresh save into the same directory prunes the stale file.
+    path2 = save_sharded_checkpoint(
+        tmp_path, state, experiment_name="exp", epoch=2,
+        metric_name="loss", metric_value=0.4,
+        template="{experiment}_best.pt",
+    )
+    assert path2 == path
+    assert not (path / "shards_p00001.npz").exists()
+    restored2, meta2 = load_sharded_checkpoint(path, template)
+    assert meta2["epoch"] == 2
+    _assert_states_equal(state, restored2)
+
+
+def test_piece_index_closes_npz_handles(tmp_path):
+    """_PieceIndex.close() must release every NpzFile (fd-leak guard);
+    load_sharded_checkpoint calls it after assembly."""
+    from ttamm_tpu.train.sharded_checkpoint import _PieceIndex
+
+    _, _, state = _placed_state(seed=0)
+    path = save_sharded_checkpoint(
+        tmp_path, state, experiment_name="exp", epoch=1,
+        metric_name="loss", metric_value=0.5,
+    )
+    index = _PieceIndex(path, num_processes=1)
+    blobs = list(index._files)
+    assert blobs
+    index.close()
+    assert index._files == [] and index.by_leaf == {}
+    for blob in blobs:
+        with pytest.raises(Exception):
+            blob["anything"]  # closed NpzFile refuses reads

@@ -81,6 +81,19 @@ _SCORES_BYTES_CEILING = 2 * 1024 * 1024 * 1024
 _BF16_BLOCK_QUERIES = 96
 _FP32_SMALL_BLOCK = 64
 _GROUP = 128  # items per group (one lane tile; group_exact only)
+# VMEM ceiling for the fused rescore kernel's rotating candidate buffers
+# (_NBUF * kg * 128 * D * itemsize). Large-k searches whose buffers would
+# not fit fall back to the slab algorithms instead of failing Mosaic
+# compilation at runtime.
+_RESCORE_VMEM_BYTES = 48 * 1024 * 1024
+
+
+def _fused_rescore_fits(k_eff: int, mask_extra: int, ng: int, dim: int,
+                        itemsize: int) -> bool:
+    from .pallas.fused_mips import _NBUF, GROUP as FGROUP
+
+    kg = min(k_eff + mask_extra + 4, ng)  # mirrors _fused_groupmax_topk
+    return _NBUF * kg * FGROUP * dim * itemsize <= _RESCORE_VMEM_BYTES
 
 
 def _fit_rows(items: jax.Array, rows: int) -> jax.Array:
@@ -217,6 +230,13 @@ def mips_topk(
             use_pallas
             and jax.default_backend() == "tpu"
             and (mask_rows is None or mask_rows.shape[1] <= 32)
+            and _fused_rescore_fits(
+                k_eff,
+                0 if mask_rows is None else mask_rows.shape[1],
+                -(-num_items // _GROUP),
+                dim,
+                queries.dtype.itemsize,
+            )
         )
         fused_min = (
             750_000 if queries.dtype == jnp.bfloat16 else 400_000
@@ -226,6 +246,20 @@ def mips_topk(
         else:
             fits = 64 * num_items * 4 <= _SCORES_BYTES_CEILING
             algorithm = "group_exact" if fits else "chunked"
+    if algorithm == "fused" and not _fused_rescore_fits(
+        k_eff,
+        0 if mask_rows is None else mask_rows.shape[1],
+        -(-num_items // _GROUP),
+        dim,
+        queries.dtype.itemsize,
+    ):
+        # An explicitly requested 'fused' whose rescore buffers overflow
+        # VMEM would die inside Mosaic at runtime; reroute to the slab.
+        algorithm = (
+            "group_exact"
+            if 64 * num_items * 4 <= _SCORES_BYTES_CEILING
+            else "chunked"
+        )
     if algorithm == "fused":
         return _fused_groupmax_topk(
             queries, item_embeddings, k_eff, num_items,

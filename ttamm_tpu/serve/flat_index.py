@@ -134,9 +134,17 @@ class FlatIndex:
         # tile multiple (2048: the fused kernel's corpus stripe; 128-group
         # and chunk boundaries divide it). With num_valid_rows the search
         # slices instead of pad-concatenating — the per-call full-corpus
-        # copy (~2.4 ms/GB) disappears.
+        # copy (~2.4 ms/GB) disappears. The cache key includes the source
+        # matrix identity and valid-row count, not just the padded bucket:
+        # swapping .embeddings for a different corpus that lands in the
+        # same 2048 bucket must refresh the device copy.
+        cache_key = (id(self.embeddings), len(self))
         padded_rows = -(-len(self) // 2048) * 2048
-        if emb is None or emb.shape[0] != padded_rows:
+        if (
+            emb is None
+            or emb.shape[0] != padded_rows
+            or getattr(self, "_device_emb_key", None) != cache_key
+        ):
             host = np.ascontiguousarray(self.embeddings, dtype=np.float32)
             if padded_rows != host.shape[0]:
                 host = np.concatenate(
@@ -150,6 +158,7 @@ class FlatIndex:
                 )
             emb = jax.device_put(host)
             self._device_emb = emb
+            self._device_emb_key = cache_key
         scores, idx = mips_topk(
             jnp.asarray(queries), emb, k=k, score_dtype=self.score_dtype,
             num_valid_rows=len(self),

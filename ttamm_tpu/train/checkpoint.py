@@ -231,6 +231,21 @@ def _convert_moment_layout(key: str, blob: Any) -> np.ndarray | None:
     return None
 
 
+def _moment_layout_available(key: str, blob: Any) -> bool:
+    """Cheap key-presence test for :func:`_convert_moment_layout` — no
+    array is materialised (the conversion concatenates GB-scale moments
+    at the flagship table sizes; availability must not pay that twice)."""
+    parts = key.rsplit("/", 1)
+    if len(parts) != 2:
+        return False
+    prefix, leaf_name = parts
+    if leaf_name == "mv":
+        return f"{prefix}/m" in blob and f"{prefix}/v" in blob
+    if leaf_name in ("m", "v"):
+        return f"{prefix}/mv" in blob
+    return False
+
+
 def load_checkpoint(
     path: Path | str, template_state: TrainState
 ) -> tuple[TrainState, dict[str, Any]]:
@@ -259,7 +274,7 @@ def load_checkpoint(
         missing = [
             k
             for k in flat_template
-            if k not in blob and _convert_moment_layout(k, blob) is None
+            if k not in blob and not _moment_layout_available(k, blob)
         ]
         if missing:
             raise ValueError(

@@ -145,6 +145,21 @@ def save_sharded_checkpoint(
     path = directory / name
     path.mkdir(parents=True, exist_ok=True)
 
+    if jax.process_index() == 0:
+        # Prune shard files a previous save with MORE processes left
+        # behind: files p0..p{count-1} are overwritten below, but stale
+        # higher-index files would otherwise be globbed in on restore and
+        # make _assemble see overlapping pieces (restore correctness is
+        # ALSO guarded by the manifest's num_processes filter in
+        # _PieceIndex — this is hygiene for the common shared-FS case).
+        # No process writes these names this run, so there is no race.
+        for stale in path.glob("shards_p*.npz"):
+            try:
+                if int(stale.stem.rpartition("p")[2]) >= jax.process_count():
+                    stale.unlink()
+            except (ValueError, OSError):
+                pass
+
     pieces = host_pieces if host_pieces is not None else state_to_host_shards(state)
     with open(path / _shard_file(jax.process_index()), "wb") as handle:
         np.savez(handle, **pieces)
@@ -163,12 +178,26 @@ def save_sharded_checkpoint(
 
 
 class _PieceIndex:
-    """Lazy view over every shard file: leaf key -> [(bounds, loader)]."""
+    """Lazy view over the manifest's shard files: leaf key -> [(bounds,
+    loader)].
 
-    def __init__(self, path: Path):
+    ``num_processes`` (from the manifest) bounds the glob: a checkpoint
+    saved with fewer processes than an earlier save into the same
+    directory must not pick up the stale higher-index ``shards_p*`` files
+    — their pieces would overlap this save's and fail (or corrupt)
+    assembly.
+    """
+
+    def __init__(self, path: Path, num_processes: int | None = None):
         self._files = []
         self.by_leaf: dict[str, list[tuple[Bounds, Callable[[], np.ndarray]]]] = {}
         for shard_path in sorted(path.glob("shards_p*.npz")):
+            if num_processes is not None:
+                try:
+                    if int(shard_path.stem.rpartition("p")[2]) >= num_processes:
+                        continue
+                except ValueError:
+                    continue
             blob = np.load(shard_path, allow_pickle=False)
             self._files.append(blob)
             for piece_key in blob.files:
@@ -179,6 +208,14 @@ class _PieceIndex:
                 )
         if not self._files:
             raise FileNotFoundError(f"No shard files under {path}")
+
+    def close(self) -> None:
+        """Release the underlying ``NpzFile`` handles (loaders die with
+        them; repeated restores must not leak file descriptors)."""
+        for blob in self._files:
+            blob.close()
+        self._files = []
+        self.by_leaf = {}
 
     def pieces_for(
         self, leaf_key: str, shape: tuple[int, ...]
@@ -274,7 +311,7 @@ def load_sharded_checkpoint(
     """
     path = Path(path)
     meta = json.loads((path / MANIFEST).read_text())
-    index = _PieceIndex(path)
+    index = _PieceIndex(path, num_processes=meta.get("num_processes"))
 
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(
         template_state
@@ -304,4 +341,7 @@ def load_sharded_checkpoint(
         else:
             arr = _assemble(pieces, (), shape, dtype, key)
         new_leaves.append(arr)
+    # make_array_from_callback materialises every addressable shard
+    # synchronously, so nothing reads the npz blobs after this point.
+    index.close()
     return jax.tree_util.tree_unflatten(treedef, new_leaves), meta
