@@ -1,15 +1,17 @@
-"""Raw frames -> model-ready training dataset.
+"""Preprocessing pipeline: raw frames -> model-ready training dataset.
 
-Semantic parity with ``src/data/preprocessing.py:42-166``:
+Four explicit stages over an integer-code view of the interactions
+(``_Codes``): CLEAN (drop broken rows) -> ALIGN (restrict interactions to
+catalogued items) -> PRUNE (min-interaction fixpoint) -> INDEX (contiguous
+ids + features + positives). All heavy passes are vectorized over code
+arrays — the raw ID strings are factorized exactly once, and every
+subsequent filter is a bincount/boolean-mask pass (~20x faster than
+string-level filtering at 2M interactions on this host's 2 CPUs).
 
-- drop books with missing/duplicate ``parent_asin``;
-- drop interactions with missing keys or items lacking metadata;
-- iterative min-interaction pruning to a fixpoint: alternate item>=N then
-  user>=M passes until the frame stops shrinking;
-- restrict books to items that still appear in interactions;
-- first-appearance index mappings for items (from books order) and users
-  (from interactions order);
-- engineered item/user feature matrices and per-user positive-item sets.
+Semantic parity with the reference (``src/data/preprocessing.py:42-166``):
+same cleaning rules, the same alternating item>=N / user>=M pruning
+fixpoint, item indices in catalog order, user indices in first-appearance
+order, and the same engineered feature matrices / positive sets.
 """
 
 from __future__ import annotations
@@ -48,6 +50,140 @@ class TrainingDataset:
     feature_metadata: FeatureMetadata
 
 
+@dataclass
+class _Codes:
+    """Integer-code view threaded between stages.
+
+    ``item`` holds, per interaction row, the row position of the item in
+    the cleaned catalog; ``user`` the first-appearance rank of the user.
+    Stages shrink ``frame``/``item``/``user`` together and never touch the
+    ID strings again.
+    """
+
+    frame: pd.DataFrame  # cleaned interactions, aligned with the codes
+    item: np.ndarray  # int per row: catalog position
+    user: np.ndarray  # int per row: user first-appearance rank
+    user_ids: np.ndarray  # rank -> raw user id
+
+
+def _clean_stage(
+    raw: DatasetArtifacts,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Drop rows that cannot participate: catalog rows without a usable
+    ``parent_asin`` (or repeating one), interaction rows missing either
+    key. IDs are normalised to strings here, once."""
+    catalog = raw.books.dropna(subset=["parent_asin"]).copy()
+    catalog["parent_asin"] = catalog["parent_asin"].astype(str)
+    catalog = catalog.drop_duplicates(subset=["parent_asin"])
+
+    events = raw.interactions.dropna(subset=["parent_asin", "userId"]).copy()
+    events["parent_asin"] = events["parent_asin"].astype(str)
+    events["userId"] = events["userId"].astype(str)
+    return catalog.reset_index(drop=True), events.reset_index(drop=True)
+
+
+def _align_stage(catalog: pd.DataFrame, events: pd.DataFrame) -> _Codes:
+    """Factorize both ID columns and drop events whose item has no
+    catalog metadata (code -1)."""
+    positions = pd.Index(catalog["parent_asin"]).get_indexer(
+        events["parent_asin"].to_numpy()
+    )
+    known = positions >= 0
+    if not known.all():
+        events = events[known].reset_index(drop=True)
+        positions = positions[known]
+    user_codes, user_ids = pd.factorize(
+        events["userId"].to_numpy(), use_na_sentinel=False
+    )
+    return _Codes(
+        frame=events,
+        item=positions,
+        user=user_codes,
+        user_ids=np.asarray(user_ids),
+    )
+
+
+def _prune_stage(codes: _Codes, min_user: int, min_item: int) -> _Codes:
+    """Alternate item>=min_item / user>=min_user count filters until the
+    surviving set stops shrinking (the reference's fixpoint, expressed as
+    bincount passes over the code arrays)."""
+    if codes.frame.empty:
+        logger.warning("No interactions remain after metadata alignment.")
+        return codes
+    if min_user <= 0 and min_item <= 0:
+        return codes
+
+    n_before = len(codes.frame)
+    n_items = int(codes.item.max()) + 1 if len(codes.item) else 0
+    n_users = int(codes.user.max()) + 1 if len(codes.user) else 0
+    alive = np.ones(n_before, dtype=bool)
+    survivors = -1
+    while survivors != int(alive.sum()):
+        survivors = int(alive.sum())
+        if min_item > 0 and survivors:
+            per_item = np.bincount(codes.item[alive], minlength=n_items)
+            alive &= per_item[codes.item] >= min_item
+        if min_user > 0 and alive.any():
+            per_user = np.bincount(codes.user[alive], minlength=n_users)
+            alive &= per_user[codes.user] >= min_user
+
+    dropped = n_before - int(alive.sum())
+    if dropped:
+        logger.info(
+            "Pruning fixpoint dropped %d/%d interactions "
+            "(thresholds: user>=%d, item>=%d).",
+            dropped,
+            n_before,
+            min_user,
+            min_item,
+        )
+    if not alive.any():
+        logger.warning(
+            "Pruning fixpoint left zero interactions "
+            "(thresholds: user>=%d, item>=%d).",
+            min_user,
+            min_item,
+        )
+    # Re-rank users by first appearance among survivors (ranks must stay
+    # dense and appearance-ordered for the INDEX stage).
+    frame = codes.frame[alive].reset_index(drop=True)
+    new_user, user_ids = pd.factorize(
+        frame["userId"].to_numpy(), use_na_sentinel=False
+    )
+    return _Codes(
+        frame=frame,
+        item=codes.item[alive],
+        user=new_user,
+        user_ids=np.asarray(user_ids),
+    )
+
+
+def _index_stage(
+    catalog: pd.DataFrame, codes: _Codes
+) -> tuple[pd.DataFrame, pd.DataFrame, IndexMapping, IndexMapping]:
+    """Compact the catalog to items that survived pruning and attach the
+    final contiguous indices to both frames."""
+    if len(codes.frame):
+        used = np.bincount(codes.item, minlength=len(catalog)) > 0
+        catalog = catalog[used].reset_index(drop=True)
+        compacted = np.cumsum(used) - 1  # old catalog position -> new
+        item_idx = compacted[codes.item]
+    else:
+        item_idx = np.empty(0, dtype=np.int64)
+
+    item_mapping = build_index_mapping(catalog["parent_asin"])
+    user_mapping = IndexMapping.from_uniques(codes.user_ids)
+
+    events = codes.frame
+    events["item_idx"] = item_idx.astype("int64")
+    events["user_idx"] = codes.user.astype("int64")
+
+    catalog = catalog.assign(
+        item_idx=np.arange(len(catalog), dtype=np.int64)
+    )
+    return catalog, events, item_mapping, user_mapping
+
+
 def build_training_dataset(
     dataset: DatasetArtifacts,
     *,
@@ -56,105 +192,31 @@ def build_training_dataset(
     min_user_interactions: int = 0,
     min_item_interactions: int = 0,
 ) -> TrainingDataset:
+    """Run the CLEAN -> ALIGN -> PRUNE -> INDEX pipeline and assemble the
+    feature matrices + per-user positive sets."""
     if stage not in {"train", "eval"}:
         raise ValueError("stage must be either 'train' or 'eval'")
 
-    books = (
-        dataset.books.dropna(subset=["parent_asin"])
-        .drop_duplicates(subset=["parent_asin"])
-        .copy()
+    catalog, events = _clean_stage(dataset)
+    codes = _align_stage(catalog, events)
+    codes = _prune_stage(
+        codes,
+        max(int(min_user_interactions), 0),
+        max(int(min_item_interactions), 0),
     )
-    books["parent_asin"] = books["parent_asin"].astype(str)
-
-    interactions = (
-        dataset.interactions.dropna(subset=["parent_asin", "userId"])
-        .reset_index(drop=True)
-        .copy()
+    items, interactions, item_mapping, user_mapping = _index_stage(
+        catalog, codes
     )
-    interactions["parent_asin"] = interactions["parent_asin"].astype(str)
-    interactions["userId"] = interactions["userId"].astype(str)
 
-    # Metadata alignment + fixpoint pruning on integer codes: factorize the
-    # raw IDs once and filter with bincounts instead of repeated string
-    # isin/value_counts passes (20x at 2M interactions on this host; the
-    # fixpoint reached is identical — each pass applies the same
-    # count-threshold filters).
-    items_index = pd.Index(books["parent_asin"])
-    item_codes = items_index.get_indexer(interactions["parent_asin"].to_numpy())
-    if (item_codes < 0).any():
-        interactions = interactions[item_codes >= 0].reset_index(drop=True)
-        item_codes = item_codes[item_codes >= 0]
-
-    min_user_interactions = max(int(min_user_interactions), 0)
-    min_item_interactions = max(int(min_item_interactions), 0)
-
-    if interactions.empty:
-        logger.warning("No interactions remain after metadata alignment.")
-    elif min_user_interactions > 0 or min_item_interactions > 0:
-        before_filter = len(interactions)
-        user_codes, _ = pd.factorize(
-            interactions["userId"].to_numpy(), use_na_sentinel=False
-        )
-        num_item_codes = len(items_index)
-        num_user_codes = int(user_codes.max()) + 1 if len(user_codes) else 0
-        keep = np.ones(len(interactions), dtype=bool)
-        prev_size = -1
-        while prev_size != int(keep.sum()):
-            prev_size = int(keep.sum())
-            if min_item_interactions > 0 and prev_size:
-                counts = np.bincount(item_codes[keep], minlength=num_item_codes)
-                keep &= counts[item_codes] >= min_item_interactions
-            if min_user_interactions > 0 and keep.any():
-                counts = np.bincount(user_codes[keep], minlength=num_user_codes)
-                keep &= counts[user_codes] >= min_user_interactions
-        interactions = interactions[keep].reset_index(drop=True)
-        item_codes = item_codes[keep]
-
-        filtered = before_filter - len(interactions)
-        if filtered > 0:
-            logger.info(
-                "Filtered %d interactions (min_user=%d, min_item=%d).",
-                filtered,
-                min_user_interactions,
-                min_item_interactions,
-            )
-        if interactions.empty:
-            logger.warning(
-                "All interactions filtered out by frequency thresholds "
-                "(user>=%d, item>=%d).",
-                min_user_interactions,
-                min_item_interactions,
-            )
-
-    if not interactions.empty:
-        usage = np.bincount(item_codes, minlength=len(items_index))
-        kept_books = usage > 0
-        books = books[kept_books].reset_index(drop=True)
-        # position of each kept book among kept books = final item index
-        new_of_old = np.cumsum(kept_books) - 1
-        item_idx_values = new_of_old[item_codes]
-    else:
-        item_idx_values = np.empty(0, dtype=np.int64)
-
-    item_mapping = build_index_mapping(books["parent_asin"])
-    user_codes_final, user_uniques = pd.factorize(
-        interactions["userId"].to_numpy(), use_na_sentinel=False
-    )
-    user_mapping = IndexMapping.from_uniques(np.asarray(user_uniques))
-
-    interactions["item_idx"] = item_idx_values.astype("int64")
-    interactions["user_idx"] = user_codes_final.astype("int64")
-
-    users = pd.DataFrame(
-        {"userId": user_mapping.index_to_id, "user_idx": range(len(user_mapping))}
-    ).astype({"user_idx": "int64"})
-
-    books["item_idx"] = (
-        books["parent_asin"].map(item_mapping.id_to_index).astype("int64")
+    users = pd.DataFrame.from_dict(
+        {
+            "userId": list(user_mapping.index_to_id),
+            "user_idx": np.arange(len(user_mapping), dtype=np.int64),
+        }
     )
 
     item_feature_matrix, feature_metadata = build_item_feature_matrix(
-        books, feature_config
+        items, feature_config
     )
     user_feature_matrix = build_user_feature_matrix(
         interactions,
@@ -163,15 +225,13 @@ def build_training_dataset(
         aggregation=str((feature_config or {}).get("user_aggregation", "mean")),
     )
 
-    user_positive_items = positives_from_frame(interactions)
-
     return TrainingDataset(
         users=users,
-        items=books,
+        items=items,
         interactions=interactions,
         user_mapping=user_mapping,
         item_mapping=item_mapping,
-        user_positive_items=user_positive_items,
+        user_positive_items=positives_from_frame(interactions),
         item_feature_matrix=item_feature_matrix,
         user_feature_matrix=user_feature_matrix,
         feature_metadata=feature_metadata,

@@ -1,0 +1,158 @@
+"""Mesh-composable sparse-row Adam: the Pallas DMA row kernels run
+shard-locally inside ``shard_map``.
+
+The per-row DMA scatter is what makes the 2M-item train step batch-bound
+(flat ~0.98 ms per 12k-row update vs XLA's O(rows) hinted scatter —
+RESULTS.md round 3), but GSPMD cannot partition the custom call against a
+row-sharded table, so until round 4 the mesh path silently fell back to
+the 2.2x-slower XLA scatter. This module restores the fast path under a
+mesh by moving the update inside ``shard_map``, where partitioning is
+manual and custom calls are legal:
+
+1. all-gather the batch's ``(indices, row_grads)`` over the ``data`` axis
+   (batch-sized traffic — [n, D] rows, never a [rows, D] table);
+2. coalesce duplicate indices exactly like the single-device path (stable
+   sort + segment-sum, identical summation order → identical numerics);
+   every lane of a duplicate run carries the run's coalesced total, so
+   duplicate lanes write bit-identical rows and their DMA races are
+   benign — no head-masking or scratch-row routing;
+3. each ``model`` shard remaps global row ids to its local range and
+   MASKS the lanes it does not own (foreign rows become idx = -1) —
+   contiguous after the sort, so the masked kernels skip whole blocks;
+4. the masked per-row DMA kernels (``ops/pallas/rows.py``) gather/scatter
+   only the owned lanes — no DMA is issued for masked lanes and no write
+   ever crosses a shard boundary.
+
+Every data-replica of a table shard applies the same update (the
+all-gather makes the batch identical everywhere), so replicas stay
+bit-identical without any cross-replica reduction.
+
+Reference capability being scaled: ``torch.optim.SparseAdam`` on huge
+``sparse=True`` embedding tables (``/root/reference/src/pipelines/
+training.py:1341-1346``), sharded per SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.sparse_adam import SparseAdamState, _pick_block
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def sharded_sparse_adam_update(
+    mesh: Mesh,
+    table: jax.Array,
+    state: SparseAdamState,
+    indices: jax.Array,
+    row_grads: jax.Array,
+    *,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, SparseAdamState]:
+    """SparseAdam step over a row-sharded table via shard-local Pallas
+    row kernels. Call inside a jit compiled for ``mesh``; semantics match
+    :func:`ttamm_tpu.ops.sparse_adam.sparse_adam_update` bit for bit
+    (same coalesce order, same per-row math).
+
+    Falls back to the caller's responsibility for block divisibility:
+    when the global lane count has no supported DMA block size the caller
+    should use the XLA path instead (`_pick_block` returns None).
+    """
+    from jax import shard_map
+
+    from ..ops.pallas.rows import gather_rows, scatter_set_rows
+
+    n = indices.shape[0]
+    block = _pick_block(n)
+    if block is None:
+        raise ValueError(
+            f"sharded_sparse_adam_update: no DMA block divides n={n}"
+        )
+    num_shards = mesh.shape[MODEL_AXIS]
+    rows_per_shard = table.shape[0] // num_shards
+    assert table.shape[0] % num_shards == 0, (
+        f"table rows {table.shape[0]} not divisible by model={num_shards} "
+        "(pad_state_rows)"
+    )
+
+    def body(table, m, v, step, idx, grads):
+        # [n/dp] -> [n]: identical global batch on every device; the
+        # all-gather moves batch-row-sized data over the data axis only.
+        idx = jax.lax.all_gather(
+            idx.astype(jnp.int32), DATA_AXIS, axis=0, tiled=True
+        )
+        grads = jax.lax.all_gather(grads, DATA_AXIS, axis=0, tiled=True)
+
+        # Coalesce duplicates in the SAME order as the single-device
+        # sorted path: stable sort by row id, segment-sum runs. EVERY
+        # lane of a segment carries the segment's coalesced total, so
+        # duplicate lanes compute (and write) bit-identical updates — the
+        # DMA write races between them are benign, and no head-masking or
+        # scratch-row routing is needed. Only FOREIGN lanes (rows another
+        # shard owns) are masked, and those are contiguous after the
+        # sort, so the masked kernels skip whole blocks without per-lane
+        # predication (measured: per-lane predication cost ~+35%/update).
+        order = jnp.argsort(idx)
+        sorted_idx = idx[order]
+        sorted_grads = grads[order]
+        prev = jnp.concatenate(
+            [jnp.array([-1], sorted_idx.dtype), sorted_idx[:-1]]
+        )
+        is_head = sorted_idx != prev
+        seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+        summed = jax.ops.segment_sum(sorted_grads, seg, num_segments=n)
+        grads_coal = summed[seg]  # segment total, identical across lanes
+
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        local = sorted_idx - shard * rows_per_shard
+        owned = (local >= 0) & (local < rows_per_shard)
+        lane_idx = jnp.where(owned, local, -1)  # -1 = no DMA for this lane
+
+        m_rows = gather_rows(
+            m, lane_idx, block=block, masked=True, interpret=interpret
+        )
+        v_rows = gather_rows(
+            v, lane_idx, block=block, masked=True, interpret=interpret
+        )
+        w_rows = gather_rows(
+            table, lane_idx, block=block, masked=True, interpret=interpret
+        )
+
+        new_step = step + 1
+        m_new = b1 * m_rows + (1.0 - b1) * grads_coal
+        v_new = b2 * v_rows + (1.0 - b2) * jnp.square(grads_coal)
+        t = new_step.astype(jnp.float32)
+        m_hat = m_new / (1.0 - jnp.power(b1, t))
+        v_hat = v_new / (1.0 - jnp.power(b2, t))
+        delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+        new_table = scatter_set_rows(
+            table, lane_idx, w_rows - delta, block=block, masked=True,
+            interpret=interpret,
+        )
+        new_m = scatter_set_rows(
+            m, lane_idx, m_new, block=block, masked=True, interpret=interpret
+        )
+        new_v = scatter_set_rows(
+            v, lane_idx, v_new, block=block, masked=True, interpret=interpret
+        )
+        return new_table, new_m, new_v, new_step
+
+    row = P(MODEL_AXIS, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(row, row, row, P(), P(DATA_AXIS), P(DATA_AXIS, None)),
+        out_specs=(row, row, row, P()),
+        check_vma=False,
+    )
+    new_table, new_m, new_v, new_step = fn(
+        table, state.m, state.v, state.step, indices, row_grads
+    )
+    return new_table, SparseAdamState(m=new_m, v=new_v, step=new_step)
