@@ -443,3 +443,103 @@ def test_sharded_step_cal_pallas_matches_xla_full_step():
     rows = np.asarray(ref_state.tables["item_id"])
     srows = np.asarray(new_state.tables["item_id"])
     assert np.allclose(rows, srows, atol=5e-5)
+
+
+@pytest.mark.parametrize("score_dtype", ["float32", "bfloat16"])
+def test_sharded_topk_fused_local_matches_exact(score_dtype):
+    """VERDICT r3 #3: the fused no-slab kernel inside shard_map (interpret
+    mode on CPU) with DYNAMIC per-shard validity — padding spans several
+    trailing shards — and per-query masks must match brute force."""
+    from ttamm_tpu.parallel.step import make_sharded_topk
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    rng = np.random.default_rng(11)
+    valid, dim, k, bq = 13000, 16, 5, 16  # padded to 16384: 1.6 shards pad
+    items = rng.normal(0, 1, (valid, dim)).astype(np.float32)
+    queries = rng.normal(0, 1, (bq, dim)).astype(np.float32)
+    mask = rng.integers(0, valid, (bq, 3)).astype(np.int32)
+    mask[0, :] = valid  # sentinel-only row (no blocks)
+
+    padded = np.zeros((8 * 2048, dim), np.float32)
+    padded[:valid] = items
+    placed = jax.device_put(
+        jnp.asarray(padded), NamedSharding(mesh, P("model", None))
+    )
+    fn = make_sharded_topk(
+        mesh,
+        k=k,
+        padded_rows=padded.shape[0],
+        num_valid_rows=valid,
+        score_dtype=score_dtype,
+        with_mask=True,
+        local_algorithm="fused",
+        interpret=True,
+    )
+    scores, idx = fn(jnp.asarray(queries), placed, jnp.asarray(mask))
+
+    # Kernel scores are bf16-input/f32-accum in BOTH modes (XLA TPU
+    # default-dot parity); reproduce that for exact index comparison.
+    q16 = np.asarray(jnp.asarray(queries).astype(jnp.bfloat16)).astype(
+        np.float32
+    )
+    i16 = np.asarray(jnp.asarray(items).astype(jnp.bfloat16)).astype(
+        np.float32
+    )
+    full = q16 @ i16.T
+    for b in range(bq):
+        full[b, mask[b][mask[b] < valid]] = -np.inf
+    want_idx = np.argsort(-full, axis=1)[:, :k]
+    got_idx = np.asarray(idx)
+    got_scores = np.asarray(scores)
+    want_scores = np.take_along_axis(full, want_idx, axis=1)
+    np.testing.assert_allclose(got_scores, want_scores, rtol=2e-2, atol=1e-4)
+    # Indices must agree wherever scores are not floating-point ties.
+    ties = np.isclose(got_scores, want_scores, rtol=1e-6)
+    assert ties.all()
+    assert (got_idx == want_idx).mean() > 0.95  # ties may reorder
+    # No pad row (id >= valid) and no masked row may ever be returned.
+    assert (got_idx < valid).all()
+    for b in range(bq):
+        assert not np.isin(got_idx[b], mask[b][mask[b] < valid]).any()
+
+
+def test_fused_shard_plan_thresholds(monkeypatch):
+    """The shard plan applies the measured crossovers to PER-SHARD rows
+    and returns the matching corpus pad multiple."""
+    import ttamm_tpu.parallel.step as step_mod
+    from ttamm_tpu.parallel.step import fused_shard_plan
+
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # 2M rows / 8 shards = 250k/shard: below the 400k fp32 crossover.
+    ok, mult = fused_shard_plan(mesh, num_rows=2_000_000, k=20, dim=128)
+    assert not ok and mult == 8
+
+    # 4M rows / 8 shards = 500k/shard: fused, stripe-aligned padding.
+    ok, mult = fused_shard_plan(mesh, num_rows=4_000_000, k=20, dim=128)
+    assert ok and mult == 8 * 2048
+
+    # bf16 needs 750k/shard.
+    ok, _ = fused_shard_plan(
+        mesh, num_rows=4_000_000, k=20, dim=128, score_dtype="bfloat16"
+    )
+    assert not ok
+    ok, _ = fused_shard_plan(
+        mesh, num_rows=8_000_000, k=20, dim=128, score_dtype="bfloat16"
+    )
+    assert ok
+
+    # Wide masks and VMEM-busting k fall back to the slab.
+    ok, _ = fused_shard_plan(
+        mesh, num_rows=4_000_000, k=20, dim=128, mask_width=64
+    )
+    assert not ok
+    ok, _ = fused_shard_plan(mesh, num_rows=4_000_000, k=2000, dim=128)
+    assert not ok
+
+    # Off-TPU: never fused.
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    ok, mult = fused_shard_plan(mesh, num_rows=4_000_000, k=20, dim=128)
+    assert not ok and mult == 8

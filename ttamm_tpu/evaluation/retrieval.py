@@ -306,6 +306,8 @@ def _scan_encode_search_hits(
             normalize_queries=cosine,
             score_dtype=score_dtype,
             with_mask=True,
+            mask_width=blocked_rows.shape[1],
+            dim=item_embeddings.shape[1],
         )
 
     def step(_, xs):
@@ -394,8 +396,17 @@ def evaluate_retrieval_metrics(
         # top-k; see make_sharded_topk).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        num_shards = mesh.shape["model"]
-        pad = (-item_embeddings.shape[0]) % num_shards
+        from ..parallel.step import fused_shard_plan
+
+        _, multiple = fused_shard_plan(
+            mesh,
+            num_rows=num_valid_rows,
+            k=plan.deep_k,
+            dim=item_embeddings.shape[1],
+            score_dtype=score_dtype,
+            mask_width=plan.blocked_rows.shape[1],
+        )
+        pad = (-item_embeddings.shape[0]) % multiple
         if pad:
             item_embeddings = jnp.concatenate(
                 [

@@ -53,7 +53,7 @@ _RQ = 8  # queries per rescore grid step (sublane-dim tiling rule)
 _NBUF = 3  # rescore DMA buffers in flight (VMEM: NBUF * KG * 64 KB)
 
 
-def _groupmax_kernel(items_ref, qt_ref, out_ref, *, num_items: int):
+def _groupmax_kernel(valid_ref, items_ref, qt_ref, out_ref):
     """One [cols, B] transposed score tile -> [cols/GROUP, B] maxima.
 
     Scores are computed TRANSPOSED (items as LHS, queries.T as RHS) so
@@ -75,22 +75,24 @@ def _groupmax_kernel(items_ref, qt_ref, out_ref, *, num_items: int):
     )  # [cols, B] f32 (never leaves VMEM)
     # Pad rows (zero rows appended up to the tile multiple) must lose to
     # every real item: a zero row scores 0.0, which beats real items
-    # whenever scores go negative.
+    # whenever scores go negative. The valid count arrives in SMEM so it
+    # may be shard-dependent under shard_map (each shard's valid range
+    # is dynamic — shard id is a runtime value).
     row0 = j * _COLS
     row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    scores = jnp.where(row_ids < num_items, scores, jnp.float32(-3.0e38))
+    scores = jnp.where(row_ids < valid_ref[0], scores, jnp.float32(-3.0e38))
     cols, b = scores.shape
     out_ref[...] = jnp.max(
         scores.reshape(cols // GROUP, GROUP, b), axis=1
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_items", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def groupmax_matmul(
     queries: jax.Array,
     items: jax.Array,
     *,
-    num_items: int,
+    num_items: jax.Array | int,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-group score maxima without materialising the score slab.
@@ -98,6 +100,8 @@ def groupmax_matmul(
     queries: [B, D], B a multiple of 128 and <= _QMAX (callers chunk).
     items: [Np, D] corpus, Np a multiple of _COLS (zero-pad; pad rows
         are masked to -3e38 via ``num_items``). Same dtype as queries.
+    num_items: valid leading rows — may be a TRACED scalar (the sharded
+        eval passes each shard's dynamic valid count).
     Returns f32 [B, Np/128] group maxima.
     """
     b, d = queries.shape
@@ -105,17 +109,19 @@ def groupmax_matmul(
     assert b % 128 == 0 and b <= _QMAX, f"bad query batch {b}"
     assert npad % _COLS == 0, f"corpus rows {npad} not a multiple of {_COLS}"
     grid = (npad // _COLS,)
+    valid = jnp.asarray(num_items, jnp.int32).reshape(1)
     gmax_t = pl.pallas_call(
-        functools.partial(_groupmax_kernel, num_items=num_items),
+        _groupmax_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((_COLS, d), lambda j: (j, 0)),
             pl.BlockSpec((d, b), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((_COLS // GROUP, b), lambda j: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((npad // GROUP, b), jnp.float32),
         interpret=interpret,
-    )(items, queries.T)
+    )(valid, items, queries.T)
     return gmax_t.T
 
 

@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
@@ -327,7 +328,7 @@ def _fused_groupmax_topk(
     queries: jax.Array,
     item_embeddings: jax.Array,
     k_eff: int,
-    num_items: int,
+    num_items: int | jax.Array,
     *,
     mask_rows: jax.Array | None = None,
     use_pallas: bool = True,
@@ -364,8 +365,17 @@ def _fused_groupmax_topk(
     from .pallas.fused_mips import groupmax_matmul, rescore_groups
 
     batch, dim = queries.shape
-    npad = -(-num_items // _COLS) * _COLS
-    item_embeddings = _fit_rows(item_embeddings, npad)
+    if isinstance(num_items, (int, np.integer)):
+        npad = -(-num_items // _COLS) * _COLS
+        item_embeddings = _fit_rows(item_embeddings, npad)
+    else:
+        # Traced valid count (the sharded eval's per-shard validity): the
+        # corpus must arrive pre-padded to the stripe multiple.
+        npad = item_embeddings.shape[0]
+        assert npad % _COLS == 0, (
+            f"fused with traced num_items needs corpus rows padded to "
+            f"{_COLS}, got {npad}"
+        )
     qpad = -(-batch // 128) * 128
     qp = queries
     if qpad != batch:

@@ -122,6 +122,54 @@ def make_sharded_multi_train_step(
     )
 
 
+# Shard-local fused-MIPS crossovers: the same measured whole-corpus
+# thresholds (RESULTS.md round 3) applied to each shard's LOCAL row count
+# — a shard's search is structurally a smaller whole-corpus search.
+_FUSED_SHARD_MIN = {"float32": 400_000, "bfloat16": 750_000}
+
+
+def fused_shard_plan(
+    mesh: Mesh,
+    *,
+    num_rows: int,
+    k: int,
+    dim: int,
+    score_dtype: str = "float32",
+    mask_width: int = 0,
+) -> tuple[bool, int]:
+    """Decide fused-vs-slab for the shard-local eval search.
+
+    Returns ``(use_fused, corpus_pad_multiple)``: callers pad the corpus
+    rows to the multiple BEFORE placing it ``P(model, None)`` (the fused
+    kernel streams whole 2048-item stripes per shard; the slab path only
+    needs divisibility by the shard count). The decision applies the
+    measured whole-corpus crossovers to the per-shard row count and the
+    fused VMEM-rescore budget to the search depth (VERDICT r3 #3: the
+    old auto thresholds were whole-corpus-tuned, so a 2M-corpus eval on
+    8 shards ran the slab precisely where fused is 2-3.5x faster at
+    shard scale... and fused-inside-shard_map had never compiled).
+    """
+    from ..ops.pallas.fused_mips import _COLS
+    from ..ops.topk import _fused_rescore_fits
+
+    num_shards = mesh.shape[MODEL_AXIS]
+    rows_per_shard = -(-num_rows // num_shards)
+    itemsize = 2 if score_dtype == "bfloat16" else 4
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and rows_per_shard >= _FUSED_SHARD_MIN.get(score_dtype, 1 << 62)
+        and mask_width <= 32
+        and _fused_rescore_fits(
+            min(k, rows_per_shard),
+            mask_width,
+            -(-rows_per_shard // 128),
+            dim,
+            itemsize,
+        )
+    )
+    return use_fused, (num_shards * _COLS if use_fused else num_shards)
+
+
 def make_sharded_topk(
     mesh: Mesh,
     *,
@@ -132,26 +180,100 @@ def make_sharded_topk(
     normalize_queries: bool = False,
     score_dtype: str = "float32",
     with_mask: bool = False,
+    mask_width: int | None = None,
+    dim: int | None = None,
+    local_algorithm: str = "auto",
+    interpret: bool | None = None,
 ):
     """Build the shard-mapped distributed top-k callable.
 
     ``(queries [B, D], item_shards [padded_rows, D])`` (+ optional
     ``mask_rows [B, M]`` of GLOBAL item ids when ``with_mask``) ->
     ``(scores [B, k], global idx [B, k])``. Items are row-sharded
-    ``P(model, None)``; each shard runs a local ``mips_topk`` over its
-    rows and an all-gather of the [B, k]-sized local winners merges
-    globally — the full corpus never crosses a link. Callable inside an
-    outer jit (the EvalPlan scan uses it per user batch).
+    ``P(model, None)``; each shard searches its local rows and an
+    all-gather of the [B, k]-sized local winners merges globally — the
+    full corpus never crosses a link. Callable inside an outer jit (the
+    EvalPlan scan uses it per user batch).
+
+    ``local_algorithm``: 'auto' picks fused vs slab per
+    :func:`fused_shard_plan` on the SHARD-LOCAL row count (needs ``dim``
+    and, for masked searches, ``mask_width``); 'fused'/'slab' force.
+    The fused branch (no-slab Pallas kernel, legal inside shard_map's
+    manual partitioning) requires per-shard rows to be a multiple of the
+    2048-item stripe — pad with the plan's multiple. Shard validity is
+    DYNAMIC (each shard clips the global valid count into its range), so
+    padding may span multiple trailing shards.
+
+    ``interpret`` forces Pallas interpreter mode (CPU mesh tests).
     """
     from jax import shard_map
 
+    from ..ops.pallas.rows import _resolve_interpret
+    from ..ops.topk import _fused_groupmax_topk
+
     num_shards = mesh.shape[MODEL_AXIS]
     rows_per_shard = padded_rows // num_shards
-    num_pad = padded_rows - num_valid_rows  # pad rows sit on the LAST shard
+    num_pad = padded_rows - num_valid_rows
+    interp = _resolve_interpret(interpret)
 
-    def local_topk(q, items, mask_rows=None):
-        # items: local shard rows [rows_per_shard, D]; q replicated [B, D].
-        shard_id = jax.lax.axis_index(MODEL_AXIS)
+    if local_algorithm == "auto":
+        use_fused, multiple = (False, num_shards)
+        if dim is not None and (mask_width is not None or not with_mask):
+            use_fused, multiple = fused_shard_plan(
+                mesh,
+                num_rows=num_valid_rows,
+                k=k,
+                dim=dim,
+                score_dtype=score_dtype,
+                mask_width=mask_width or 0,
+            )
+        if use_fused and padded_rows % multiple != 0:
+            use_fused = False  # caller padded for the slab path
+    elif local_algorithm in ("fused", "slab"):
+        use_fused = local_algorithm == "fused"
+    else:
+        raise ValueError(f"Unknown local_algorithm: {local_algorithm}")
+
+    def _localize_mask(mask_rows, shard_id):
+        # Global ids -> shard-local; anything outside my row range
+        # (including sentinel num_items padding) goes to the
+        # out-of-range sentinel. The explicit where matters: a raw
+        # negative local id would WRAP in the mask scatter and
+        # silently block the wrong row.
+        local = mask_rows.astype(jnp.int32) - shard_id * rows_per_shard
+        return jnp.where(
+            (local >= 0) & (local < rows_per_shard), local, rows_per_shard
+        )
+
+    def _local_fused(q, items, mask_rows, shard_id):
+        # Each shard's valid row count is dynamic (shard_id is a runtime
+        # value); the fused kernel takes it as an SMEM scalar. Trailing
+        # shards that are pure padding get valid_local == 0 (every
+        # candidate masks to -inf and loses the merge).
+        valid_local = jnp.clip(
+            num_valid_rows - shard_id * rows_per_shard, 0, rows_per_shard
+        )
+        if normalize_queries:
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+            )
+        if score_dtype == "bfloat16":
+            q = q.astype(jnp.bfloat16)
+            items = items.astype(jnp.bfloat16)
+        local_mask = (
+            None if mask_rows is None else _localize_mask(mask_rows, shard_id)
+        )
+        return _fused_groupmax_topk(
+            q,
+            items,
+            min(k, rows_per_shard),
+            valid_local,
+            mask_rows=local_mask,
+            use_pallas=not interp,
+            interpret=interp,
+        )
+
+    def _local_slab(q, items, mask_rows, shard_id):
         mask = None
         if num_pad > 0:
             # Pad rows must rank below every real item: a zero pad row
@@ -161,6 +283,12 @@ def make_sharded_topk(
             # top-k is not enough, since pads can crowd real rows out of
             # the last shard's candidate set. Mirrors the single-device
             # iota masking in ``ops/topk.py`` (scan path / group tail).
+            # Slab callers pad to a multiple of the shard count only, so
+            # the pad rows all sit on the LAST shard (mask stays narrow).
+            assert num_pad <= rows_per_shard, (
+                "slab sharding expects pad rows confined to the last "
+                f"shard; got {num_pad} pads at {rows_per_shard} rows/shard"
+            )
             pad_local = rows_per_shard - num_pad + jnp.arange(
                 num_pad, dtype=jnp.int32
             )
@@ -170,21 +298,11 @@ def make_sharded_topk(
                 (q.shape[0], num_pad),
             )
         if mask_rows is not None:
-            # Global ids -> shard-local; anything outside my row range
-            # (including sentinel num_items padding) goes to the
-            # out-of-range sentinel. The explicit where matters: a raw
-            # negative local id would WRAP in the mask scatter and
-            # silently block the wrong row.
-            local = mask_rows.astype(jnp.int32) - shard_id * rows_per_shard
-            local = jnp.where(
-                (local >= 0) & (local < rows_per_shard),
-                local,
-                rows_per_shard,
-            )
+            local = _localize_mask(mask_rows, shard_id)
             mask = local if mask is None else jnp.concatenate(
                 [mask, local], axis=1
             )
-        scores, idx = mips_topk(
+        return mips_topk(
             q,
             items,
             k=min(k, rows_per_shard),
@@ -193,6 +311,14 @@ def make_sharded_topk(
             normalize_queries=normalize_queries,
             score_dtype=score_dtype,
         )
+
+    def local_topk(q, items, mask_rows=None):
+        # items: local shard rows [rows_per_shard, D]; q replicated [B, D].
+        shard_id = jax.lax.axis_index(MODEL_AXIS)
+        if use_fused:
+            scores, idx = _local_fused(q, items, mask_rows, shard_id)
+        else:
+            scores, idx = _local_slab(q, items, mask_rows, shard_id)
         idx = idx + shard_id * rows_per_shard
         # all-gather local top-k across the model axis, merge to global k.
         all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=1, tiled=True)
@@ -239,6 +365,7 @@ def _sharded_topk_impl(
         chunk_size=chunk_size,
         normalize_queries=normalize_queries,
         score_dtype=score_dtype,
+        dim=item_shards.shape[1],
     )
     return fn(queries, item_shards)
 
@@ -255,23 +382,29 @@ def sharded_mips_topk(
 ):
     """Distributed exact top-k: shard-local top-k + all-gather merge.
 
-    ``item_embeddings`` is zero-row-padded up to a multiple of the
-    model-axis size; pad rows are masked to -inf inside the shard-local
-    search so they can never be returned (a zero row scores 0.0, which
-    would outrank real items with negative scores).
+    ``item_embeddings`` is zero-row-padded to the shard plan's multiple
+    (the shard count for the slab algorithms; whole 2048-item stripes
+    per shard when the local search routes to the fused kernel); pad
+    rows are masked to -inf inside the shard-local search so they can
+    never be returned (a zero row scores 0.0, which would outrank real
+    items with negative scores).
     Returns (scores [B, k], global indices [B, k]).
     """
-    num_shards = mesh.shape[MODEL_AXIS]
     num_valid_rows = item_embeddings.shape[0]
-    if item_embeddings.shape[0] % num_shards != 0:
-        pad = num_shards - item_embeddings.shape[0] % num_shards
+    _, multiple = fused_shard_plan(
+        mesh,
+        num_rows=num_valid_rows,
+        k=k,
+        dim=item_embeddings.shape[1],
+        score_dtype=score_dtype,
+    )
+    if num_valid_rows % multiple != 0:
+        pad = multiple - num_valid_rows % multiple
         item_embeddings = jnp.concatenate(
             [
                 item_embeddings,
-                jnp.full(
-                    (pad, item_embeddings.shape[1]),
-                    0.0,
-                    item_embeddings.dtype,
+                jnp.zeros(
+                    (pad, item_embeddings.shape[1]), item_embeddings.dtype
                 ),
             ],
             axis=0,
