@@ -502,3 +502,32 @@ def test_fused_large_k_reroutes_to_slab():
     full = queries @ items.T
     expected_idx = np.argsort(-full, axis=1)[:, :128]
     assert np.array_equal(np.asarray(idx), expected_idx)
+
+
+def test_fused_bf16_corpus_bit_identical_to_fp32():
+    """VERDICT r3 #8: in the FUSED path, score_dtype only changes the
+    corpus STORAGE dtype — both modes round inputs to bf16 and accumulate
+    f32 (maxima/candidates/merge all stay f32; the slab that bf16 mode
+    rounds in the slab algorithms never exists). Rankings AND scores must
+    be bit-identical, which is what lets fp32-exact serving run on a
+    bf16-stored corpus at the bf16 throughput (RESULTS.md round 4)."""
+    from ttamm_tpu.ops.topk import _fused_groupmax_topk
+
+    rng = np.random.default_rng(0)
+    n, dim, b, k = 6144, 64, 16, 5
+    items = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    q = rng.normal(0, 1, (b, dim)).astype(np.float32)
+    mask = rng.integers(0, n, (b, 4)).astype(np.int32)
+
+    for m in (None, jnp.asarray(mask)):
+        sf, idf = _fused_groupmax_topk(
+            jnp.asarray(q), jnp.asarray(items), k, n,
+            mask_rows=m, use_pallas=False, interpret=True,
+        )
+        sb, idb = _fused_groupmax_topk(
+            jnp.asarray(q).astype(jnp.bfloat16),
+            jnp.asarray(items).astype(jnp.bfloat16), k, n,
+            mask_rows=m, use_pallas=False, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(idf), np.asarray(idb))
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(sb))

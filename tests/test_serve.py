@@ -162,3 +162,24 @@ def test_device_backend_wiring_matches_numpy(monkeypatch):
     s_n, i_n = idx.search(q, 5, backend="numpy")
     assert np.allclose(s_d, s_n, atol=1e-5)
     assert np.array_equal(np.sort(i_d), np.sort(i_n))
+
+
+def test_fused_exact_bf16_gate(monkeypatch):
+    """fp32 serving uses a bf16-stored corpus only in the fused regime
+    (>=400k rows, rescore VMEM fits, TPU) — below it the slab algorithms
+    would see ACTUAL bf16 rounding, which fp32 mode must never get."""
+    import jax
+    import numpy as np
+
+    from ttamm_tpu.serve.flat_index import FlatIndex
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    small = FlatIndex(np.zeros((1000, 16), np.float32))
+    assert not small._fused_exact_bf16_ok(20)
+    # len >= 400k: eligible for serving-sized k, not for VMEM-busting k.
+    big = FlatIndex(np.zeros((400_000, 128), np.float32))
+    big.embeddings = np.broadcast_to(
+        np.zeros((1, 128), np.float32), (400_000, 128)
+    )  # avoid allocating 200 MB for a gate test
+    assert big._fused_exact_bf16_ok(20)
+    assert not big._fused_exact_bf16_ok(4000)

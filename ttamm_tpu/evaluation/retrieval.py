@@ -245,7 +245,7 @@ def _scan_encode_search(
     jax.jit,
     static_argnames=(
         "cfg", "deep_k", "chunk", "cosine", "max_k", "score_dtype",
-        "mesh", "num_valid_rows",
+        "mesh", "num_valid_rows", "algorithm",
     ),
 )
 def _scan_encode_search_hits(
@@ -264,6 +264,7 @@ def _scan_encode_search_hits(
     score_dtype: str = "float32",
     mesh=None,
     num_valid_rows: int | None = None,
+    algorithm: str = "auto",
 ) -> jax.Array:
     """Whole-corpus eval returning the per-user HIT MATRIX on device.
 
@@ -325,6 +326,8 @@ def _scan_encode_search_hits(
                 mask_rows=mask_rows,
                 normalize_queries=cosine,
                 score_dtype=score_dtype,
+                algorithm=algorithm,
+                num_valid_rows=num_valid_rows,
             )
         valid = scores > _VALID_THRESHOLD  # [bs, deep_k]
         nvalid = jnp.sum(valid.astype(jnp.int32), axis=-1)  # [bs]
@@ -390,6 +393,25 @@ def evaluate_retrieval_metrics(
             jnp.linalg.norm(item_embeddings, axis=-1, keepdims=True), 1e-12
         )
     num_valid_rows = item_embeddings.shape[0]
+    algorithm = "auto"
+    if mesh is None and score_dtype == "float32":
+        from ..ops.topk import fused_fp32_bf16_storage_ok
+
+        if fused_fp32_bf16_storage_ok(
+            num_valid_rows,
+            plan.deep_k,
+            item_embeddings.shape[1],
+            plan.blocked_rows.shape[1],
+        ):
+            # In the fused regime a bf16-STORED corpus is bit-identical
+            # to the fp32 search (the kernels round inputs to bf16 and
+            # accumulate f32 in both modes) and halves corpus traffic —
+            # metric parity is preserved EXACTLY, not approximately.
+            # 'fused' must be forced: the bf16 auto threshold would
+            # route 400k-750k corpora to the approximate bf16 slab.
+            item_embeddings = item_embeddings.astype(jnp.bfloat16)
+            score_dtype = "bfloat16"
+            algorithm = "fused"
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         # Row-shard the corpus over the model axis for the distributed
         # search (zero-pad rows are -inf-masked inside the shard-local
@@ -426,7 +448,7 @@ def evaluate_retrieval_metrics(
         plan.blocked_rows,
         deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
         max_k=max_k, score_dtype=score_dtype,
-        mesh=mesh, num_valid_rows=num_valid_rows,
+        mesh=mesh, num_valid_rows=num_valid_rows, algorithm=algorithm,
     )
     hits_np = np.asarray(jax.device_get(hits))  # [nb, bs, max_k]
     # Drop the pad rows (short final batch repeats its last user; counting

@@ -97,6 +97,30 @@ def _fused_rescore_fits(k_eff: int, mask_extra: int, ng: int, dim: int,
     return _NBUF * kg * FGROUP * dim * itemsize <= _RESCORE_VMEM_BYTES
 
 
+def fused_fp32_bf16_storage_ok(
+    num_items: int, k: int, dim: int, mask_width: int = 0
+) -> bool:
+    """True when an fp32 search of this shape routes to the FUSED kernels,
+    where a bf16-STORED corpus is a pure bandwidth win, not an
+    approximation: the fused kernels round inputs to bf16 and accumulate
+    f32 in BOTH score modes (maxima, candidates and merge stay f32 — the
+    slab that bf16 mode rounds in the slab algorithms never exists), so
+    scores and ranking are bit-identical
+    (tests/test_ops.py::test_fused_bf16_corpus_bit_identical_to_fp32)
+    while corpus HBM/VMEM traffic halves. Callers that flip storage to
+    bf16 must pass ``algorithm='fused'`` — the bf16 AUTO threshold (750k)
+    would route 400k-750k corpora to the genuinely-approximate bf16 slab.
+    """
+    return (
+        jax.default_backend() == "tpu"
+        and num_items >= 400_000  # the fp32 fused auto crossover
+        and mask_width <= 32
+        and _fused_rescore_fits(
+            min(k, num_items), mask_width, -(-num_items // _GROUP), dim, 2
+        )
+    )
+
+
 def _fit_rows(items: jax.Array, rows: int) -> jax.Array:
     """Slice or zero-pad ``items`` to exactly ``rows`` leading rows.
 

@@ -129,16 +129,31 @@ class FlatIndex:
             from ..ops.topk import mips_topk
         except Exception:
             return None
+        # fp32-exact searches in the FUSED regime run on a bf16-STORED
+        # corpus: the fused kernels round inputs to bf16 and accumulate
+        # f32 in BOTH modes (the slab that bf16 mode rounds never exists),
+        # so scores AND ranking are bit-identical to the fp32-fused search
+        # while corpus HBM/VMEM traffic halves — measured +12% q/s at 2M
+        # items on v5e (RESULTS.md round 4; bit-identity pinned by
+        # tests/test_ops.py::test_fused_bf16_corpus_bit_identical_to_fp32).
+        # algorithm='fused' is forced because the bf16 AUTO threshold
+        # (750k) would route mid-size corpora to the APPROXIMATE bf16
+        # slab.
+        fused_exact = (
+            self.score_dtype == "float32"
+            and jax.devices()[0].platform == "tpu"
+            and self._fused_exact_bf16_ok(k)
+        )
         emb = getattr(self, "_device_emb", None)
         # Cache the corpus PRE-PADDED to the search algorithms' widest
         # tile multiple (2048: the fused kernel's corpus stripe; 128-group
         # and chunk boundaries divide it). With num_valid_rows the search
         # slices instead of pad-concatenating — the per-call full-corpus
         # copy (~2.4 ms/GB) disappears. The cache key includes the source
-        # matrix identity and valid-row count, not just the padded bucket:
-        # swapping .embeddings for a different corpus that lands in the
-        # same 2048 bucket must refresh the device copy.
-        cache_key = (id(self.embeddings), len(self))
+        # matrix identity, valid-row count and storage dtype, not just the
+        # padded bucket: swapping .embeddings for a different corpus that
+        # lands in the same 2048 bucket must refresh the device copy.
+        cache_key = (id(self.embeddings), len(self), fused_exact)
         padded_rows = -(-len(self) // 2048) * 2048
         if (
             emb is None
@@ -156,17 +171,36 @@ class FlatIndex:
                         ),
                     ]
                 )
+            if fused_exact:
+                # Host-side cast also halves the upload (45 MB/s tunnel).
+                import ml_dtypes
+
+                host = host.astype(ml_dtypes.bfloat16)
             emb = jax.device_put(host)
             self._device_emb = emb
             self._device_emb_key = cache_key
-        scores, idx = mips_topk(
-            jnp.asarray(queries), emb, k=k, score_dtype=self.score_dtype,
-            num_valid_rows=len(self),
-        )
+        if fused_exact:
+            scores, idx = mips_topk(
+                jnp.asarray(queries), emb, k=k, score_dtype="bfloat16",
+                algorithm="fused", num_valid_rows=len(self),
+            )
+        else:
+            scores, idx = mips_topk(
+                jnp.asarray(queries), emb, k=k, score_dtype=self.score_dtype,
+                num_valid_rows=len(self),
+            )
         return (
             np.asarray(jax.device_get(scores)),
             np.asarray(jax.device_get(idx)).astype(np.int64),
         )
+
+    def _fused_exact_bf16_ok(self, k: int) -> bool:
+        """True when an fp32 search of this index routes to the fused
+        kernels (where bf16 storage is a pure bandwidth win, not an
+        approximation — see ``ops.topk.fused_fp32_bf16_storage_ok``)."""
+        from ..ops.topk import fused_fp32_bf16_storage_ok
+
+        return fused_fp32_bf16_storage_ok(len(self), k, self.dim)
 
     def save(self, path: Path | str) -> None:
         path = Path(path)
