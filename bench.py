@@ -376,6 +376,42 @@ def main() -> None:
             "bfloat16"
         )
 
+        # The SHIPPED fp32-exact serving path (round 4): fused search over
+        # a bf16-STORED corpus — bit-identical ranking to the fp32 fused
+        # search (the kernels round inputs to bf16 either way), so
+        # fp32-exact serving runs at the bf16 throughput. This is what
+        # FlatIndex does for fp32 indexes in the fused regime.
+        from ttamm_tpu.ops.topk import fused_fp32_bf16_storage_ok
+
+        if fused_fp32_bf16_storage_ok(scale_items, 20, dim):
+            emb_bf16 = item_emb2.astype(jnp.bfloat16)
+
+            @jax.jit
+            def run_served(qs, emb):
+                def body(carry, q):
+                    q = q + 0.0 * carry
+                    s, idx = mips_topk(
+                        q, emb, k=20, normalize_queries=True,
+                        score_dtype="bfloat16", algorithm="fused",
+                    )
+                    return s[:, :1], idx
+
+                return jax.lax.scan(
+                    body, jnp.zeros((qbatch, 1), jnp.float32), qs
+                )
+
+            _, idx = run_served(scale_q, emb_bf16)
+            _sync(idx[:, :1, :1])
+            best_q = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, idx = run_served(scale_q, emb_bf16)
+                _sync(idx[:, :1, :1])
+                best_q = min(best_q, time.perf_counter() - t0)
+            scale_extra["scale_topk_fp32_served_queries_per_s"] = round(
+                20 * qbatch / best_q, 1
+            )
+
     result = {
         "metric": "training examples/s/chip",
         "value": round(examples_per_s / max(n_devices, 1), 1),
