@@ -86,3 +86,128 @@ def test_training_converges_with_in_batch_loss():
     eval_step = make_eval_loss_step(cfg, tscfg)
     val = float(eval_step(state, data, u_fixed, p_fixed, jax.random.key(99)))
     assert np.isfinite(val)
+
+
+def test_logq_correction_matches_manual():
+    rng = np.random.default_rng(2)
+    u = rng.normal(0, 1, (5, 8)).astype(np.float32)
+    v = rng.normal(0, 1, (5, 8)).astype(np.float32)
+    idx = np.array([3, 1, 4, 0, 2], np.int32)
+    num_items = 6
+    counts = np.array([10, 40, 5, 25, 15, 1], np.float64)
+    log_q = np.log(counts / counts.sum()).astype(np.float32)
+    got = float(
+        _in_batch_softmax_loss(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(idx),
+            log_q=jnp.asarray(log_q),
+        )
+    )
+    logits = (u @ v.T) - log_q[idx][None, :]
+    logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+    expected = -np.mean(np.diagonal(logp))
+    assert np.isclose(got, expected, atol=1e-5)
+    # and the correction actually changes the loss vs the plain variant
+    plain = float(
+        _in_batch_softmax_loss(jnp.asarray(u), jnp.asarray(v), jnp.asarray(idx))
+    )
+    assert not np.isclose(got, plain, atol=1e-6)
+
+
+def test_temperature_matches_manual():
+    rng = np.random.default_rng(3)
+    u = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    v = rng.normal(0, 1, (4, 8)).astype(np.float32)
+    idx = np.array([0, 1, 2, 3], np.int32)
+    tau = 0.25
+    got = float(
+        _in_batch_softmax_loss(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(idx), temperature=tau
+        )
+    )
+    logits = (u @ v.T) / tau
+    logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+    expected = -np.mean(np.diagonal(logp))
+    assert np.isclose(got, expected, atol=1e-5)
+
+
+def test_train_step_threads_logq_through_batch_data():
+    """The jitted step consumes BatchData.item_log_q when
+    tscfg.logq_correction is on, and ignores it when off."""
+    U, I, F, B = 12, 9, 4, 6
+    cfg = parse_model_config(
+        {
+            "user_encoder": {
+                "type": "tower",
+                "id_embedding": {"params": {"embedding_dim": 8, "sparse": True}},
+                "feature_encoder": {"type": "linear", "output_dim": 8},
+                "fusion": "sum",
+            },
+            "item_encoder": {
+                "type": "tower",
+                "id_embedding": {"params": {"embedding_dim": 8, "sparse": True}},
+                "feature_encoder": {"type": "linear", "output_dim": 8},
+                "fusion": "sum",
+            },
+            "adaptive_mimic": {"enabled": False},
+        },
+        user_feature_dim=F,
+        item_feature_dim=F,
+    )
+    rng = np.random.default_rng(4)
+    positives = {u: {int(x) for x in rng.integers(0, I, 2)} for u in range(U)}
+    packed = pack_positives(positives, num_users=U, num_items=I)
+    counts = rng.integers(1, 50, I).astype(np.float64)
+    log_q = jnp.asarray(np.log(counts / counts.sum()), jnp.float32)
+    data = BatchData(
+        user_features=jnp.asarray(rng.normal(0, 1, (U, F)).astype(np.float32)),
+        item_features=jnp.asarray(rng.normal(0, 1, (I, F)).astype(np.float32)),
+        positive_rows=jnp.asarray(packed.rows),
+        category_ids=None,
+        item_log_q=log_q,
+    )
+    state = create_train_state(jax.random.key(0), cfg, num_users=U, num_items=I)
+    u_idx = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p_idx = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+
+    def first_loss(logq_on):
+        tscfg = TrainStepConfig(
+            num_items=I,
+            loss_type="in_batch_softmax",
+            logq_correction=logq_on,
+            opt=parse_dense_opt_config({"optimizer": "adamw", "learning_rate": 0.01}),
+        )
+        step = make_train_step(cfg, tscfg)
+        _, metrics = step(state, data, u_idx, p_idx, jax.random.key(0))
+        return float(metrics["loss"])
+
+    corrected, plain = first_loss(True), first_loss(False)
+    assert np.isfinite(corrected) and np.isfinite(plain)
+    assert not np.isclose(corrected, plain, atol=1e-6)
+
+    # the eval-loss step applies the same correction
+    tscfg = TrainStepConfig(
+        num_items=I,
+        loss_type="in_batch_softmax",
+        opt=parse_dense_opt_config({"optimizer": "adamw", "learning_rate": 0.01}),
+    )
+    val = float(make_eval_loss_step(cfg, tscfg)(state, data, u_idx, p_idx, jax.random.key(1)))
+    assert np.isfinite(val)
+
+
+def test_batch_data_logq_sharding_and_padding():
+    from ttamm_tpu.parallel.sharding import data_shardings, pad_batch_data
+    from ttamm_tpu.parallel.mesh import MeshConfig, build_mesh
+
+    data = BatchData(
+        user_features=jnp.zeros((5, 3)),
+        item_features=jnp.zeros((7, 3)),
+        positive_rows=jnp.zeros((5, 2), jnp.int32),
+        category_ids=jnp.zeros((7,), jnp.int32),
+        item_log_q=jnp.zeros((7,), jnp.float32),
+    )
+    padded = pad_batch_data(data, 4)
+    assert padded.item_log_q.shape[0] % 4 == 0
+    assert padded.item_log_q.shape[0] == padded.category_ids.shape[0]
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=1))
+    s = data_shardings(mesh, data)
+    assert s.item_log_q is not None

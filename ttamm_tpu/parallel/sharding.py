@@ -175,6 +175,7 @@ def data_shardings(mesh: Mesh, data: BatchData) -> BatchData:
         item_features=None if data.item_features is None else row,
         positive_rows=row,
         category_ids=None if data.category_ids is None else vec,
+        item_log_q=None if data.item_log_q is None else vec,
     )
 
 
@@ -248,6 +249,7 @@ def pad_batch_data(data: BatchData, model_parallel: int) -> BatchData:
         item_features=pad(data.item_features),
         positive_rows=pad(data.positive_rows),
         category_ids=pad(data.category_ids),
+        item_log_q=pad(data.item_log_q),
     )
 
 

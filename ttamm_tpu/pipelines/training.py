@@ -479,6 +479,22 @@ def run_single_experiment(
         num_items=num_items,
         cap=int(positives_cap) if positives_cap else None,
     )
+    # logQ correction table for the in-batch softmax: log empirical
+    # train-split item frequency (floored at one occurrence — unseen items
+    # can still appear as eval-loss candidates). Only materialised when
+    # the loss actually consumes it.
+    item_log_q = None
+    if (
+        str(training_config.get("loss", "bce")).lower() == "in_batch_softmax"
+        and bool(training_config.get("logq_correction", True))
+    ):
+        counts = np.bincount(
+            train_df["item_idx"].to_numpy(), minlength=num_items
+        ).astype(np.float64)
+        item_log_q = jnp.asarray(
+            np.log(np.maximum(counts, 1.0) / max(counts.sum(), 1.0)),
+            dtype=jnp.float32,
+        )
     data = BatchData(
         user_features=(
             jnp.asarray(training_dataset.user_feature_matrix)
@@ -494,6 +510,7 @@ def run_single_experiment(
         category_ids=(
             jnp.asarray(categories.category_ids) if categories is not None else None
         ),
+        item_log_q=item_log_q,
     )
 
     # -------------------------------------------------------------- model/opt
@@ -544,6 +561,8 @@ def run_single_experiment(
     loss_type = str(training_config.get("loss", "bce")).lower()
     if loss_type not in {"bce", "in_batch_softmax"}:
         raise ValueError(f"Unsupported training.loss: {loss_type}")
+    if float(training_config.get("softmax_temperature", 1.0)) <= 0.0:
+        raise ValueError("training.softmax_temperature must be > 0")
     tscfg = TrainStepConfig(
         num_items=num_items,
         negatives_per_positive=negatives_per_positive,
@@ -579,6 +598,10 @@ def run_single_experiment(
         embedding_exchange=str(
             mesh_cfg_raw.get("embedding_exchange", "gspmd")
         ),
+        softmax_temperature=float(
+            training_config.get("softmax_temperature", 1.0)
+        ),
+        logq_correction=bool(training_config.get("logq_correction", True)),
         opt=parse_dense_opt_config(training_config),
     )
     train_step = make_train_step(

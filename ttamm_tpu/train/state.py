@@ -94,3 +94,7 @@ class BatchData(NamedTuple):
     item_features: jax.Array | None  # [I, Fi] or None
     positive_rows: jax.Array  # [U, cap] padded per-user positives
     category_ids: jax.Array | None  # [I] frequency-ordered primary categories
+    # [I] log empirical train-split item frequencies for the in-batch
+    # softmax logQ correction (None unless loss='in_batch_softmax' with
+    # the correction enabled; see train/step.py _in_batch_softmax_loss).
+    item_log_q: jax.Array | None = None

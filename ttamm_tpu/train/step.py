@@ -75,6 +75,13 @@ class TrainStepConfig(NamedTuple):
     # routes ids/rows explicitly through the bucketed exchange
     # (parallel/exchange.py). Ignored single-chip (mesh=None).
     embedding_exchange: str = "gspmd"
+    # In-batch softmax only: softmax temperature (divides the dot-product
+    # logits) and the Yi-et-al-2019 logQ popularity correction. The
+    # correction additionally needs ``BatchData.item_log_q`` (built by the
+    # pipeline from train-split item frequencies); without it the loss
+    # falls back to uncorrected. See _in_batch_softmax_loss.
+    softmax_temperature: float = 1.0
+    logq_correction: bool = True
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -171,11 +178,31 @@ def _bce_stack(pos_logits, neg_logits):
     return bce_with_logits(logits, labels)
 
 
-def _in_batch_softmax_loss(user_emb, pos_emb, pos_idx):
+def _in_batch_softmax_loss(
+    user_emb, pos_emb, pos_idx, *, log_q=None, temperature=1.0
+):
     """Sampled-softmax with in-batch negatives: every other row's positive
     item is a negative; rows whose item equals this row's item are masked
-    (accidental hits) rather than treated as negatives."""
+    (accidental hits) rather than treated as negatives.
+
+    ``log_q``: optional [num_items] log empirical sampling probabilities.
+    In-batch negatives are drawn ∝ item popularity, so the uncorrected
+    softmax systematically pushes popular items DOWN (measured: recall@10
+    DEGRADES from epoch 1 on the canonical corpus, RESULTS.md round-4).
+    The standard logQ correction (Yi et al. 2019, "Sampling-bias-corrected
+    neural modeling") subtracts each candidate's log sampling probability
+    from its logit — popular candidates get their over-representation in
+    the negative pool discounted exactly.
+
+    ``temperature``: divides the logits before the softmax (logits here
+    are raw dot products per reference parity, so the learnable embedding
+    scale already absorbs most of this; ships for completeness).
+    """
     logits = jnp.dot(user_emb, pos_emb.T, preferred_element_type=jnp.float32)
+    if temperature != 1.0:
+        logits = logits / jnp.asarray(temperature, logits.dtype)
+    if log_q is not None:
+        logits = logits - jnp.take(log_q, pos_idx)[None, :]
     same_item = pos_idx[:, None] == pos_idx[None, :]
     eye = jnp.eye(pos_idx.shape[0], dtype=bool)
     mask = same_item & ~eye  # duplicate items elsewhere in batch
@@ -270,7 +297,11 @@ def make_train_step(
             train=True, dropout_rng=dropout_rng, tp=tp_ctx,
         )
         if tscfg.loss_type == "in_batch_softmax":
-            retrieval_loss = _in_batch_softmax_loss(user_emb, pos_emb, pos_idx)
+            retrieval_loss = _in_batch_softmax_loss(
+                user_emb, pos_emb, pos_idx,
+                log_q=data.item_log_q if tscfg.logq_correction else None,
+                temperature=tscfg.softmax_temperature,
+            )
         else:
             pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
             retrieval_loss = _bce_stack(pos_logits, neg_logits)
@@ -558,7 +589,11 @@ def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
             train=False, dropout_rng=None,
         )
         if tscfg.loss_type == "in_batch_softmax":
-            return _in_batch_softmax_loss(user_emb, pos_emb, pos_idx)
+            return _in_batch_softmax_loss(
+                user_emb, pos_emb, pos_idx,
+                log_q=data.item_log_q if tscfg.logq_correction else None,
+                temperature=tscfg.softmax_temperature,
+            )
         pos_logits, neg_logits = _retrieval_logits(user_emb, pos_emb, neg_emb)
         return _bce_stack(pos_logits, neg_logits)
 
