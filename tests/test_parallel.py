@@ -543,3 +543,34 @@ def test_fused_shard_plan_thresholds(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     ok, mult = fused_shard_plan(mesh, num_rows=4_000_000, k=20, dim=128)
     assert not ok and mult == 8
+
+
+def test_sharded_step_in_batch_softmax_logq_matches_single_device():
+    """The corrected in-batch softmax (BatchData.item_log_q threaded
+    through the mesh shardings) is numerically equivalent sharded."""
+    cfg, state, data, tscfg = _setup()
+    rng = np.random.default_rng(7)
+    counts = rng.integers(1, 40, I).astype(np.float64)
+    data = data._replace(
+        item_log_q=jnp.asarray(np.log(counts / counts.sum()), jnp.float32)
+    )
+    tscfg = tscfg._replace(loss_type="in_batch_softmax")
+    step = make_train_step(cfg, tscfg)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(21)
+
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = place_state(mesh, pad_state_rows(state, 2))
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    rows = np.asarray(ref_state.tables["item_id"])
+    srows = np.asarray(new_state.tables["item_id"])[: rows.shape[0]]
+    assert np.allclose(rows, srows, atol=1e-5)
