@@ -227,3 +227,25 @@ def test_dataset_cache_reused(synth_dir, tmp_path):
     r2 = run_training(config)
     assert r2.best_metric == r1.best_metric
     assert len(list((tmp_path / "cache").glob("dataset_*.pkl"))) == 1
+
+
+def test_end_to_end_in_batch_softmax_logq(synth_dir, tmp_path):
+    """Pipeline-level coverage of the corrected in-batch loss: the
+    item_log_q table is built from the train split and the run trains
+    to completion with finite losses and artifacts."""
+    artifact_dir = tmp_path / "artifacts_ib"
+    config = _config(synth_dir, artifact_dir)
+    config["training"]["loss"] = "in_batch_softmax"
+    result = run_training(config)
+    assert result.best_metric is not None
+    assert np.isfinite(result.history.train_loss).all()
+    assert (artifact_dir / "report.md").exists()
+
+    # and the plain (uncorrected) variant still runs when opted out
+    artifact_dir2 = tmp_path / "artifacts_ib_plain"
+    config2 = _config(synth_dir, artifact_dir2)
+    config2["training"]["loss"] = "in_batch_softmax"
+    config2["training"]["logq_correction"] = False
+    config2["training"]["num_epochs"] = 1
+    result2 = run_training(config2)
+    assert np.isfinite(result2.history.train_loss).all()
