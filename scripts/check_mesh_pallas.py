@@ -41,6 +41,13 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--dim", type=int, default=128)
+    parser.add_argument(
+        "--loss",
+        default="bce",
+        choices=["bce", "in_batch_softmax"],
+        help="retrieval loss for the step under test; in_batch_softmax "
+        "attaches a BatchData.item_log_q table (logQ correction path)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -87,9 +94,21 @@ def main() -> None:
         category_ids=jnp.asarray(
             rng.integers(0, 64, num_items).astype(np.int32)
         ),
+        item_log_q=(
+            jnp.asarray(
+                np.log(
+                    (c := rng.integers(1, 50, num_items).astype(np.float64))
+                    / c.sum()
+                ),
+                jnp.float32,
+            )
+            if args.loss == "in_batch_softmax"
+            else None
+        ),
     )
     tscfg = TrainStepConfig(
         num_items=num_items,
+        loss_type=args.loss,
         negatives_per_positive=5,
         lambda_mimic_user=0.15,
         lambda_mimic_item=0.15,
@@ -147,7 +166,7 @@ def main() -> None:
     best, loss0 = time_multi(make_single(None), state)
     results.append(
         {
-            "config": "single_chip_pallas_auto",
+            "config": f"single_chip_pallas_auto_{args.loss}",
             "step_ms": round(1000 * best / steps, 3),
             "first_loss": round(loss0, 6),
         }
@@ -179,7 +198,7 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     results.append(
         {
-            "config": "mesh_1x1_pallas_auto",
+            "config": f"mesh_1x1_pallas_auto_{args.loss}",
             "step_ms": round(1000 * best / steps, 3),
             "first_loss": round(float(np.asarray(l0).reshape(-1)[0]), 6),
             "tpu_custom_calls": n_custom,
