@@ -70,12 +70,20 @@ def main() -> None:
     padded_rows = -(-n // multiple) * multiple
     padded = np.zeros((padded_rows, dim), np.float32)
     padded[:n] = items
+
+    def _progress(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+    _progress(f"uploading corpus ({padded.nbytes / 1e9:.2f} GB x2 over the tunnel)...")
     placed = jax.device_put(
         jnp.asarray(padded), NamedSharding(mesh, P(MODEL_AXIS, None))
     )
+    jax.block_until_ready(placed)
     local = jax.device_put(jnp.asarray(padded))
+    jax.block_until_ready(local)
     q_dev = jax.device_put(jnp.asarray(queries))
     m_dev = jax.device_put(jnp.asarray(mask))
+    _progress("uploads done")
 
     # NOTE: fused compiles take ~3 min each over the axon tunnel; keep
     # the config matrix small (fp32 masked = the eval shape, bf16
@@ -115,8 +123,13 @@ def main() -> None:
                 )
 
             # Exactness: sharded == mesh-less fused.
+            _progress(f"compiling+running sharded fused ({score_dtype}, masked={masked})...")
             s0, i0 = sharded_call(0)
+            jax.block_until_ready(s0)
+            _progress("sharded call done; compiling mesh-less fused...")
             l0, li0 = local_call(0)
+            jax.block_until_ready(l0)
+            _progress("mesh-less call done; timing...")
             idx_match = bool(np.array_equal(np.asarray(i0), np.asarray(li0)))
             smax = float(np.max(np.abs(np.asarray(s0) - np.asarray(l0))))
 
