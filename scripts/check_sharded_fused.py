@@ -21,6 +21,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -105,21 +106,34 @@ def main() -> None:
                 dim=dim,
             )
 
-            @jax.jit
-            def sharded_call(i):
-                if masked:
-                    return fn(q_dev[i], placed, m_dev[i])
-                return fn(q_dev[i], placed)
+            # The corpus MUST be a jit ARGUMENT, not a closure capture: a
+            # captured concrete device array is embedded in the jaxpr as a
+            # constant, and a 1 GB constant makes XLA:TPU's compile hang
+            # for 25+ minutes at 2M items (measured; argument-passing
+            # compiles the same program in ~25 s).
+            @partial(jax.jit, static_argnames=("with_m",))
+            def _sharded(q, corpus, m, *, with_m):
+                if with_m:
+                    return fn(q, corpus, m)
+                return fn(q, corpus)
 
-            @jax.jit
-            def local_call(i):
+            def sharded_call(i):
+                return _sharded(q_dev[i], placed, m_dev[i], with_m=masked)
+
+            @partial(jax.jit, static_argnames=("with_m", "sd"))
+            def _local(q, corpus, m, *, with_m, sd):
                 return mips_topk(
-                    q_dev[i],
-                    local,
+                    q,
+                    corpus,
                     k=k,
                     num_valid_rows=n,
-                    mask_rows=m_dev[i] if masked else None,
-                    score_dtype=score_dtype,
+                    mask_rows=m if with_m else None,
+                    score_dtype=sd,
+                )
+
+            def local_call(i):
+                return _local(
+                    q_dev[i], local, m_dev[i], with_m=masked, sd=score_dtype
                 )
 
             # Exactness: sharded == mesh-less fused.
