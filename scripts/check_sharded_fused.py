@@ -49,6 +49,14 @@ def main() -> None:
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ttamm_tpu.utils.compile_cache import enable_persistent_cache
+
+    # The fused compiles take minutes over the tunnel and the tunnel is
+    # flaky; the persistent cache makes every retry after the first pay
+    # ~0 compile time (VERDICT r4 weak #5).
+    cache_dir = enable_persistent_cache()
+    print(f"# compile cache: {cache_dir}", file=sys.stderr, flush=True)
+
     from ttamm_tpu.ops.pallas.fused_mips import _COLS
     from ttamm_tpu.ops.topk import mips_topk
     from ttamm_tpu.parallel import MeshConfig, build_mesh

@@ -33,9 +33,12 @@ import pandas as pd
 
 from ..data.arrays import positives_from_frame
 from ..models.two_tower import ModelConfig
-from ..ops.topk import NEG_INF, mips_topk
+from ..ops.topk import FUSED_MASK_WIDTH_MAX, NEG_INF, mips_topk
 from ..train.state import BatchData, TrainState
 from ..train.step import encode_corpus
+from ..utils.logging import get_logger
+
+logger = get_logger("evaluation")
 
 _VALID_THRESHOLD = NEG_INF / 2
 
@@ -137,6 +140,15 @@ class EvalPlan:
     through the dev tunnel the per-eval wall time is dominated by host<->device
     round trips, so the users and the blocked-item matrix live on device and
     the whole eval runs as ONE ``lax.scan`` dispatch.
+
+    When the packed blocked matrix is wider than the fused kernel's mask
+    gate (``FUSED_MASK_WIDTH_MAX``), the plan is BUCKETED by per-user
+    blocked width: this plan holds the users whose train-positive count
+    fits the gate (their mask rows sliced to the gate width, keeping the
+    fused no-slab search eligible for the power-law majority), and
+    ``wide`` holds a sub-plan for the heavy tail at full width (slab
+    path). Without the split one heavy user's width would silently
+    revert the WHOLE eval to the slab (~10x at 2M items).
     """
 
     batches: tuple[tuple[int, ...], ...]  # eval users, chunked by scan step
@@ -147,32 +159,23 @@ class EvalPlan:
     num_items: int
     gt_mat: jax.Array  # int32 [nb, bs, gt_cap] ground truth, -1 padded
     gt_sizes: np.ndarray  # int32 [nb, bs] |GT| per (padded) user row
+    wide: "EvalPlan | None" = None  # heavy-tail bucket (full mask width)
 
 
-def build_eval_plan(
-    val_interactions: pd.DataFrame,
-    train_positive_map: Mapping[int, set[int]],
+def _plan_buckets(plan: EvalPlan) -> list[EvalPlan]:
+    return [plan] + ([plan.wide] if plan.wide is not None else [])
+
+
+def _plan_for_users(
+    users: list[int],
+    gt_per_user: dict[int, set[int]],
+    blocked_rows: jax.Array,
     *,
-    num_users: int,
     num_items: int,
     k_values: Iterable[int],
-    user_batch_size: int = 1024,
-    blocked_rows: jax.Array | None = None,
-) -> EvalPlan | None:
-    """Precompute the per-epoch-invariant eval inputs (see EvalPlan).
-
-    ``blocked_rows`` lets callers share one packed+uploaded train-positives
-    matrix across several plans (the pipeline builds val and test plans
-    from the same blocked map).
-    """
-    from ..data.arrays import pack_positives
-
-    if val_interactions.empty:
-        return None
-    gt_per_user = positives_from_frame(val_interactions)
-    users = [u for u, gt in gt_per_user.items() if gt]
-    if not users:
-        return None
+    user_batch_size: int,
+    wide: EvalPlan | None = None,
+) -> EvalPlan:
     max_k = max(k_values)
     gt_cap = max(len(gt_per_user[u]) for u in users)
     n = len(users)
@@ -180,11 +183,6 @@ def build_eval_plan(
     nb = -(-n // bs)
     user_arr = np.asarray(users, np.int32)
     padded = np.concatenate([user_arr, np.full(nb * bs - n, user_arr[-1], np.int32)])
-    if blocked_rows is None:
-        packed = pack_positives(
-            train_positive_map, num_users=num_users, num_items=num_items
-        )
-        blocked_rows = jnp.asarray(packed.rows)
     padded_users = [int(u) for u in padded]
     gt_rows = _pad_rows([sorted(gt_per_user[u]) for u in padded_users], gt_cap, -1)
     gt_sizes = np.asarray(
@@ -201,7 +199,81 @@ def build_eval_plan(
         num_items=num_items,
         gt_mat=jnp.asarray(gt_rows.reshape(nb, bs, gt_cap)),
         gt_sizes=gt_sizes,
+        wide=wide,
     )
+
+
+def build_eval_plan(
+    val_interactions: pd.DataFrame,
+    train_positive_map: Mapping[int, set[int]],
+    *,
+    num_users: int,
+    num_items: int,
+    k_values: Iterable[int],
+    user_batch_size: int = 1024,
+    blocked_rows: jax.Array | None = None,
+) -> EvalPlan | None:
+    """Precompute the per-epoch-invariant eval inputs (see EvalPlan).
+
+    ``blocked_rows`` lets callers share one packed+uploaded train-positives
+    matrix across several plans (the pipeline builds val and test plans
+    from the same blocked map). It must cover every eval user's FULL
+    train-positive list: a matrix packed with a ``positives_cap`` that
+    truncated an eval user is rebuilt uncapped here (with a warning) —
+    a truncated blocked row would let the eval recommend that user's own
+    train positives and inflate recall.
+
+    When the blocked width exceeds the fused-search mask gate, users are
+    bucketed by their own blocked count (see :class:`EvalPlan`).
+    """
+    from ..data.arrays import pack_positives
+
+    if val_interactions.empty:
+        return None
+    gt_per_user = positives_from_frame(val_interactions)
+    users = [u for u, gt in gt_per_user.items() if gt]
+    if not users:
+        return None
+    counts = {u: len(train_positive_map.get(u, ())) for u in users}
+    max_blocked = max(counts.values(), default=0)
+    if blocked_rows is not None and blocked_rows.shape[1] < max_blocked:
+        logger.warning(
+            "eval blocked matrix width %d < max eval-user positive count %d "
+            "(built with a positives_cap?); rebuilding uncapped — truncated "
+            "blocked rows would leak train positives into eval predictions.",
+            blocked_rows.shape[1],
+            max_blocked,
+        )
+        blocked_rows = None
+    if blocked_rows is None:
+        packed = pack_positives(
+            train_positive_map, num_users=num_users, num_items=num_items
+        )
+        blocked_rows = jnp.asarray(packed.rows)
+    kwargs = dict(
+        num_items=num_items, k_values=k_values, user_batch_size=user_batch_size
+    )
+    if blocked_rows.shape[1] > FUSED_MASK_WIDTH_MAX:
+        narrow = [u for u in users if counts[u] <= FUSED_MASK_WIDTH_MAX]
+        wide = [u for u in users if counts[u] > FUSED_MASK_WIDTH_MAX]
+        if narrow:
+            logger.info(
+                "eval plan: blocked width %d exceeds the fused mask gate "
+                "(%d); bucketing %d narrow / %d wide users "
+                "(narrow keeps the fused-search-eligible %d-wide slice).",
+                blocked_rows.shape[1], FUSED_MASK_WIDTH_MAX,
+                len(narrow), len(wide), FUSED_MASK_WIDTH_MAX,
+            )
+            narrow_blocked = blocked_rows[:, :FUSED_MASK_WIDTH_MAX]
+            wide_plan = (
+                _plan_for_users(wide, gt_per_user, blocked_rows, **kwargs)
+                if wide
+                else None
+            )
+            return _plan_for_users(
+                narrow, gt_per_user, narrow_blocked, wide=wide_plan, **kwargs
+            )
+    return _plan_for_users(users, gt_per_user, blocked_rows, **kwargs)
 
 
 @partial(jax.jit, static_argnames=("cfg", "deep_k", "chunk", "cosine"))
@@ -393,8 +465,11 @@ def evaluate_retrieval_metrics(
             jnp.linalg.norm(item_embeddings, axis=-1, keepdims=True), 1e-12
         )
     num_valid_rows = item_embeddings.shape[0]
+    buckets = _plan_buckets(plan)
     algorithm = "auto"
-    if mesh is None and score_dtype == "float32":
+    if mesh is None and score_dtype == "float32" and plan.wide is None:
+        # (With a wide bucket the flip stays off: the slab path the wide
+        # users take would score the bf16-stored corpus approximately.)
         from ..ops.topk import fused_fp32_bf16_storage_ok
 
         if fused_fp32_bf16_storage_ok(
@@ -420,13 +495,19 @@ def evaluate_retrieval_metrics(
 
         from ..parallel.step import fused_shard_plan
 
-        _, multiple = fused_shard_plan(
-            mesh,
-            num_rows=num_valid_rows,
-            k=plan.deep_k,
-            dim=item_embeddings.shape[1],
-            score_dtype=score_dtype,
-            mask_width=plan.blocked_rows.shape[1],
+        # One padded+placed corpus serves every bucket: the fused stripe
+        # multiple is itself a multiple of the shard count, so the wide
+        # bucket's slab path divides evenly too.
+        multiple = max(
+            fused_shard_plan(
+                mesh,
+                num_rows=num_valid_rows,
+                k=b.deep_k,
+                dim=item_embeddings.shape[1],
+                score_dtype=score_dtype,
+                mask_width=b.blocked_rows.shape[1],
+            )[1]
+            for b in buckets
         )
         pad = (-item_embeddings.shape[0]) % multiple
         if pad:
@@ -443,24 +524,27 @@ def evaluate_retrieval_metrics(
         )
     else:
         mesh = None  # data-parallel-only meshes use the plain local search
-    hits = _scan_encode_search_hits(
-        state, data, cfg, plan.user_mat, plan.gt_mat, item_embeddings,
-        plan.blocked_rows,
-        deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
-        max_k=max_k, score_dtype=score_dtype,
-        mesh=mesh, num_valid_rows=num_valid_rows, algorithm=algorithm,
-    )
-    hits_np = np.asarray(jax.device_get(hits))  # [nb, bs, max_k]
-    # Drop the pad rows (short final batch repeats its last user; counting
-    # the repeats would skew the macro average).
-    rows = [
-        hits_np[b, : len(chunk_users)]
-        for b, chunk_users in enumerate(plan.batches)
-    ]
-    sizes = [
-        plan.gt_sizes[b, : len(chunk_users)]
-        for b, chunk_users in enumerate(plan.batches)
-    ]
+    rows: list[np.ndarray] = []
+    sizes: list[np.ndarray] = []
+    for bucket in buckets:
+        hits = _scan_encode_search_hits(
+            state, data, cfg, bucket.user_mat, bucket.gt_mat, item_embeddings,
+            bucket.blocked_rows,
+            deep_k=bucket.deep_k, chunk=topk_chunk_size, cosine=cosine,
+            max_k=max_k, score_dtype=score_dtype,
+            mesh=mesh, num_valid_rows=num_valid_rows, algorithm=algorithm,
+        )
+        hits_np = np.asarray(jax.device_get(hits))  # [nb, bs, max_k]
+        # Drop the pad rows (short final batch repeats its last user;
+        # counting the repeats would skew the macro average).
+        rows.extend(
+            hits_np[b, : len(chunk_users)]
+            for b, chunk_users in enumerate(bucket.batches)
+        )
+        sizes.extend(
+            bucket.gt_sizes[b, : len(chunk_users)]
+            for b, chunk_users in enumerate(bucket.batches)
+        )
     return metrics_from_hit_matrix(
         np.concatenate(rows, axis=0),
         np.concatenate(sizes, axis=0),
@@ -526,23 +610,23 @@ def evaluate_retrieval(
             item_embeddings = item_embeddings / jnp.maximum(
                 jnp.linalg.norm(item_embeddings, axis=-1, keepdims=True), 1e-12
             )
-        idx_all, valid_all = _scan_encode_search(
-            state, data, cfg, plan.user_mat, item_embeddings, plan.blocked_rows,
-            deep_k=plan.deep_k, chunk=topk_chunk_size, cosine=cosine,
-        )
-        idx_np = np.asarray(jax.device_get(idx_all))
-        valid_np = np.asarray(jax.device_get(valid_all))
         predictions: dict[int, list[int]] = {}
-        for b, chunk_users in enumerate(plan.batches):
-            _postprocess_mips_rows(
-                predictions, chunk_users, idx_np[b], valid_np[b],
-                plan.gt_per_user, max_k,
+        plan_users: list[int] = []
+        for bucket in _plan_buckets(plan):
+            idx_all, valid_all = _scan_encode_search(
+                state, data, cfg, bucket.user_mat, item_embeddings,
+                bucket.blocked_rows,
+                deep_k=bucket.deep_k, chunk=topk_chunk_size, cosine=cosine,
             )
-        return predictions, {
-            u: plan.gt_per_user[u]
-            for batch in plan.batches
-            for u in batch
-        }
+            idx_np = np.asarray(jax.device_get(idx_all))
+            valid_np = np.asarray(jax.device_get(valid_all))
+            for b, chunk_users in enumerate(bucket.batches):
+                _postprocess_mips_rows(
+                    predictions, chunk_users, idx_np[b], valid_np[b],
+                    plan.gt_per_user, max_k,
+                )
+            plan_users.extend(u for batch in bucket.batches for u in batch)
+        return predictions, {u: plan.gt_per_user[u] for u in plan_users}
 
     if val_interactions.empty:
         return {}, {}

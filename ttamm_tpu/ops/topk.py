@@ -22,6 +22,14 @@ import numpy as np
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
+# Widest per-query blocked-id mask the fused no-slab kernel accepts: the
+# rescore cost grows with the mask width (M extra selected groups per
+# query), so wider masks route to the slab algorithms. Shared with the
+# shard plan (parallel/step.py) and the eval-plan bucketing
+# (evaluation/retrieval.py splits eval users at this width so the narrow
+# majority keeps the fused path on power-law corpora).
+FUSED_MASK_WIDTH_MAX = 32
+
 
 # Widest row the small-k kernel may take: its live VMEM is ~5x the
 # [8, W] f32 input block (key image + temps, double-buffered), so cap W
@@ -114,7 +122,7 @@ def fused_fp32_bf16_storage_ok(
     return (
         jax.default_backend() == "tpu"
         and num_items >= 400_000  # the fp32 fused auto crossover
-        and mask_width <= 32
+        and mask_width <= FUSED_MASK_WIDTH_MAX
         and _fused_rescore_fits(
             min(k, num_items), mask_width, -(-num_items // _GROUP), dim, 2
         )
@@ -254,7 +262,7 @@ def mips_topk(
         fused_ok = (
             use_pallas
             and jax.default_backend() == "tpu"
-            and (mask_rows is None or mask_rows.shape[1] <= 32)
+            and (mask_rows is None or mask_rows.shape[1] <= FUSED_MASK_WIDTH_MAX)
             and _fused_rescore_fits(
                 k_eff,
                 0 if mask_rows is None else mask_rows.shape[1],

@@ -150,7 +150,7 @@ def fused_shard_plan(
     shard scale... and fused-inside-shard_map had never compiled).
     """
     from ..ops.pallas.fused_mips import _COLS
-    from ..ops.topk import _fused_rescore_fits
+    from ..ops.topk import FUSED_MASK_WIDTH_MAX, _fused_rescore_fits
 
     num_shards = mesh.shape[MODEL_AXIS]
     rows_per_shard = -(-num_rows // num_shards)
@@ -158,7 +158,7 @@ def fused_shard_plan(
     use_fused = (
         jax.default_backend() == "tpu"
         and rows_per_shard >= _FUSED_SHARD_MIN.get(score_dtype, 1 << 62)
-        and mask_width <= 32
+        and mask_width <= FUSED_MASK_WIDTH_MAX
         and _fused_rescore_fits(
             min(k, rows_per_shard),
             mask_width,

@@ -1,3 +1,4 @@
+from .compile_cache import enable_persistent_cache
 from .config import (
     clone_config,
     expand_grid,
@@ -10,6 +11,7 @@ from .logging import configure_logging, get_logger
 __all__ = [
     "clone_config",
     "configure_logging",
+    "enable_persistent_cache",
     "expand_grid",
     "get_by_dotted_path",
     "get_logger",
