@@ -211,3 +211,119 @@ def test_batch_data_logq_sharding_and_padding():
     mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=1))
     s = data_shardings(mesh, data)
     assert s.item_log_q is not None
+
+
+def test_mixed_negatives_loss_matches_manual():
+    """Mixed negative sampling: logits [B, B+M], mixture logQ correction
+    log((B*q_pop + M/N)/(B+M)), accidental-hit masking across the whole
+    candidate pool."""
+    rng = np.random.default_rng(3)
+    B, M, D, N = 5, 3, 8, 50
+    u = rng.normal(size=(B, D)).astype(np.float32)
+    v = rng.normal(size=(B, D)).astype(np.float32)
+    negs = rng.normal(size=(M, D)).astype(np.float32)
+    pos_idx = np.array([4, 7, 4, 9, 11], np.int32)  # rows 0/2 share item 4
+    neg_idx = np.array([7, 30, 31], np.int32)  # pool item 7 = row 1's positive
+    counts = rng.integers(1, 20, N).astype(np.float64)
+    log_q = np.log(counts / counts.sum()).astype(np.float32)
+
+    got = float(
+        _in_batch_softmax_loss(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(pos_idx),
+            neg_emb=jnp.asarray(negs), neg_idx=jnp.asarray(neg_idx),
+            num_items=N, log_q=jnp.asarray(log_q),
+        )
+    )
+
+    cand = np.concatenate([v, negs]).astype(np.float64)
+    cand_idx = np.concatenate([pos_idx, neg_idx])
+    logits = u.astype(np.float64) @ cand.T
+    q_mix = (B * np.exp(log_q[cand_idx].astype(np.float64)) + M / N) / (B + M)
+    logits = logits - np.log(q_mix)[None, :]
+    mask = cand_idx[None, :] == pos_idx[:, None]
+    for i in range(B):
+        mask[i, i] = False
+    logits = np.where(mask, np.finfo(np.float32).min, logits)
+    logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+    expected = -np.mean(np.diagonal(logp))
+    assert np.isclose(got, expected, atol=1e-5)
+
+
+def test_mixed_negatives_empty_pool_is_identical_to_plain():
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    idx = jnp.asarray(np.array([0, 1, 2, 3], np.int32))
+    counts = rng.integers(1, 9, 10).astype(np.float64)
+    log_q = jnp.asarray(np.log(counts / counts.sum()).astype(np.float32))
+    plain = float(_in_batch_softmax_loss(u, v, idx, log_q=log_q))
+    empty = float(
+        _in_batch_softmax_loss(
+            u, v, idx,
+            neg_emb=jnp.zeros((0, 8), jnp.float32),
+            neg_idx=jnp.zeros((0,), jnp.int32),
+            num_items=10, log_q=log_q,
+        )
+    )
+    assert plain == empty
+
+
+def test_train_step_mixed_negatives_converges():
+    """The full train step with a mixed-negative pool runs and trains."""
+    U, I, F, B = 30, 25, 5, 10
+    cfg = parse_model_config(
+        {
+            "user_encoder": {
+                "type": "tower",
+                "id_embedding": {"params": {"embedding_dim": 8, "sparse": True}},
+                "feature_encoder": {"type": "linear", "output_dim": 8},
+                "fusion": "gated",
+            },
+            "item_encoder": {
+                "type": "tower",
+                "id_embedding": {"params": {"embedding_dim": 8, "sparse": True}},
+                "feature_encoder": {"type": "linear", "output_dim": 8},
+                "fusion": "gated",
+            },
+            "adaptive_mimic": {"enabled": True},
+        },
+        user_feature_dim=F,
+        item_feature_dim=F,
+    )
+    rng = np.random.default_rng(6)
+    packed = pack_positives(
+        {u: {int(x) for x in rng.integers(0, I, 2)} for u in range(U)},
+        num_users=U, num_items=I,
+    )
+    counts = rng.integers(1, 30, I).astype(np.float64)
+    data = BatchData(
+        user_features=jnp.asarray(rng.normal(0, 1, (U, F)).astype(np.float32)),
+        item_features=jnp.asarray(rng.normal(0, 1, (I, F)).astype(np.float32)),
+        positive_rows=jnp.asarray(packed.rows),
+        category_ids=None,
+        item_log_q=jnp.asarray(np.log(counts / counts.sum()), jnp.float32),
+    )
+    tscfg = TrainStepConfig(
+        num_items=I,
+        loss_type="in_batch_softmax",
+        mixed_negatives=8,
+        lambda_mimic_user=0.15,
+        lambda_mimic_item=0.15,
+        opt=parse_dense_opt_config({"optimizer": "adamw", "learning_rate": 0.01}),
+    )
+    state = create_train_state(jax.random.key(0), cfg, num_users=U, num_items=I)
+    step = make_train_step(cfg, tscfg)
+    u_fixed = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p_fixed = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, data, u_fixed, p_fixed, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8
+
+    # Eval-loss step accepts the same config.
+    eval_step = make_eval_loss_step(cfg, tscfg)
+    assert np.isfinite(
+        float(eval_step(state, data, u_fixed, p_fixed, jax.random.key(99)))
+    )

@@ -574,3 +574,90 @@ def test_sharded_step_in_batch_softmax_logq_matches_single_device():
     rows = np.asarray(ref_state.tables["item_id"])
     srows = np.asarray(new_state.tables["item_id"])[: rows.shape[0]]
     assert np.allclose(rows, srows, atol=1e-5)
+
+
+def test_sharded_step_mixed_negatives_matches_single_device():
+    """In-batch softmax with a mixed-negative pool (round-5 lever) is
+    numerically equivalent under the 8-device mesh."""
+    cfg, state, data, tscfg = _setup()
+    rng = np.random.default_rng(11)
+    counts = rng.integers(1, 40, I).astype(np.float64)
+    data = data._replace(
+        item_log_q=jnp.asarray(np.log(counts / counts.sum()), jnp.float32)
+    )
+    tscfg = tscfg._replace(loss_type="in_batch_softmax", mixed_negatives=16)
+    step = make_train_step(cfg, tscfg)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(23)
+
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = place_state(mesh, pad_state_rows(state, 2))
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    rows = np.asarray(ref_state.tables["item_id"])
+    srows = np.asarray(new_state.tables["item_id"])[: rows.shape[0]]
+    assert np.allclose(rows, srows, atol=1e-5)
+
+
+def test_sharded_step_lr_schedule_matches_single_device():
+    """The on-device cosine lr schedule (traced lr through the shard-
+    mapped sparse update) is numerically equivalent under the mesh."""
+    from ttamm_tpu.train.optim import DenseOptConfig
+
+    cfg, state, data, tscfg = _setup()
+    tscfg = tscfg._replace(
+        opt=DenseOptConfig(
+            name="adamw", lr=0.01,
+            lr_schedule="cosine", lr_total_steps=10, lr_final_factor=0.1,
+        ),
+        sparse_weight_decay=0.01,
+    )
+    rng = np.random.default_rng(13)
+    step = make_train_step(cfg, tscfg)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(29)
+
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    # Placements from COPIES: donation would otherwise delete the
+    # original state's leaves (place_state aliases leaves that need no
+    # repadding/resharding).
+    pstate = place_state(
+        mesh, pad_state_rows(jax.tree.map(jnp.copy, state), 2)
+    )
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    # The Pallas sharded path too: the traced scheduled lr + weight decay
+    # must thread through shard_map's sparse update (interpret on CPU).
+    pstate2 = place_state(
+        mesh, pad_state_rows(jax.tree.map(jnp.copy, state), 2)
+    )
+    sharded_pl = make_sharded_train_step(
+        cfg, tscfg._replace(use_pallas=True), mesh, pstate2, pdata
+    )
+    pl_state, pl_metrics = sharded_pl(pstate2, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    assert float(pl_metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    for name in ("item_id", "user_id"):
+        rows = np.asarray(ref_state.tables[name])
+        srows = np.asarray(new_state.tables[name])[: rows.shape[0]]
+        plrows = np.asarray(pl_state.tables[name])[: rows.shape[0]]
+        assert np.allclose(rows, srows, atol=1e-5), name
+        assert np.allclose(rows, plrows, atol=1e-5), name

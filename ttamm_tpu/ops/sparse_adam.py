@@ -125,9 +125,17 @@ def sparse_adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    weight_decay: float = 0.0,
     use_pallas: bool = False,
 ) -> tuple[jax.Array, SparseAdamState]:
     """Apply one SparseAdam step for the touched rows.
+
+    ``weight_decay`` applies DECOUPLED (AdamW-style) decay to the touched
+    rows only: ``w -= lr*wd*w`` once per step per coalesced row. This
+    extends the reference — ``torch.optim.SparseAdam`` supports no weight
+    decay at all (ref ``training.py:1341-1346``) — as a regularization
+    lever for the in-batch softmax loss (RESULTS.md round-5 loss-ceiling
+    study). Sparse semantics are preserved: untouched rows never decay.
 
     ``table``/``state`` must include the scratch row (last row) appended by
     ``init_model``; it absorbs the writes from coalesced-duplicate lanes
@@ -159,14 +167,16 @@ def sparse_adam_update(
                 stacklevel=2,
             )
         return sparse_adam_update_packed(
-            table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps
+            table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps,
+            weight_decay=weight_decay,
         )
     block = _pick_block(indices.shape[0]) if use_pallas else None
     if block is None:
         # Default: the sorted scatter-ADD formulation — XLA's fastest
         # lowering below SORTED_SCATTER_MAX_ROWS, flat-but-generic above.
         return sparse_adam_update_sorted(
-            table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps
+            table, state, indices, row_grads, lr=lr, b1=b1, b2=b2, eps=eps,
+            weight_decay=weight_decay,
         )
 
     from .pallas.rows import gather_rows, scatter_set_rows
@@ -189,6 +199,8 @@ def sparse_adam_update(
     m_hat = m_new / (1.0 - jnp.power(b1, t))
     v_hat = v_new / (1.0 - jnp.power(b2, t))
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    if weight_decay:
+        delta = delta + (lr * weight_decay) * w_rows
 
     new_table = scatter_set_rows(table, target_rows, w_rows - delta, block=block)
     new_m = scatter_set_rows(state.m, target_rows, m_new, block=block)
@@ -206,6 +218,7 @@ def sparse_adam_update_sorted(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    weight_decay: float = 0.0,
 ) -> tuple[jax.Array, SparseAdamState]:
     """SparseAdam step via sorted scatter-ADD (same semantics as
     :func:`sparse_adam_update`).
@@ -239,8 +252,11 @@ def sparse_adam_update_sorted(
     # The weight delta is -lr*m_hat/(sqrt(v_hat)+eps): it never reads the
     # old weights, so skip the table[sorted_idx] gather entirely (one fewer
     # 49 ns/row descriptor pass; measured ~6% faster isolated on v5e,
-    # bit-identical output).
+    # bit-identical output). Decoupled weight decay is the one feature
+    # that re-enables the gather — only when requested.
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    if weight_decay:
+        delta = delta + (lr * weight_decay) * table[sorted_idx]
 
     head = is_head[:, None]
     hint = table.shape[0] <= SORTED_SCATTER_MAX_ROWS
@@ -266,6 +282,7 @@ def sparse_adam_update_packed(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    weight_decay: float = 0.0,
 ) -> tuple[jax.Array, SparseAdamStatePacked]:
     """Sorted scatter-ADD SparseAdam step over the packed ``[rows, 2D]``
     moment layout — bit-identical to :func:`sparse_adam_update_sorted`,
@@ -295,6 +312,8 @@ def sparse_adam_update_packed(
     m_hat = m_new / (1.0 - jnp.power(b1, t))
     v_hat = v_new / (1.0 - jnp.power(b2, t))
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    if weight_decay:
+        delta = delta + (lr * weight_decay) * table[sorted_idx]
 
     head = is_head[:, None]
     hint = table.shape[0] <= SORTED_SCATTER_MAX_ROWS

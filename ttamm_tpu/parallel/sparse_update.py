@@ -53,6 +53,7 @@ def sharded_sparse_adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    weight_decay: float = 0.0,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, SparseAdamState]:
     """SparseAdam step over a row-sharded table via shard-local Pallas
@@ -81,7 +82,7 @@ def sharded_sparse_adam_update(
         "(pad_state_rows)"
     )
 
-    def body(table, m, v, step, idx, grads):
+    def body(table, m, v, step, idx, grads, lr):
         # [n/dp] -> [n]: identical global batch on every device; the
         # all-gather moves batch-row-sized data over the data axis only.
         idx = jax.lax.all_gather(
@@ -131,6 +132,10 @@ def sharded_sparse_adam_update(
         m_hat = m_new / (1.0 - jnp.power(b1, t))
         v_hat = v_new / (1.0 - jnp.power(b2, t))
         delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        if weight_decay:
+            # Decoupled decay on touched rows (duplicate lanes compute
+            # the same value; masked-lane w_rows are never written back).
+            delta = delta + (lr * weight_decay) * w_rows
 
         new_table = scatter_set_rows(
             table, lane_idx, w_rows - delta, block=block, masked=True,
@@ -148,11 +153,14 @@ def sharded_sparse_adam_update(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(row, row, row, P(), P(DATA_AXIS), P(DATA_AXIS, None)),
+        # lr rides as a replicated operand (not a closure constant) so a
+        # traced scheduled lr (train.optim.lr_scale) works under the mesh.
+        in_specs=(row, row, row, P(), P(DATA_AXIS), P(DATA_AXIS, None), P()),
         out_specs=(row, row, row, P()),
         check_vma=False,
     )
     new_table, new_m, new_v, new_step = fn(
-        table, state.m, state.v, state.step, indices, row_grads
+        table, state.m, state.v, state.step, indices, row_grads,
+        jnp.asarray(lr, jnp.float32),
     )
     return new_table, SparseAdamState(m=new_m, v=new_v, step=new_step)

@@ -563,6 +563,16 @@ def run_single_experiment(
         raise ValueError(f"Unsupported training.loss: {loss_type}")
     if float(training_config.get("softmax_temperature", 1.0)) <= 0.0:
         raise ValueError("training.softmax_temperature must be > 0")
+    mixed_negatives = int(training_config.get("mixed_negatives", 0))
+    if mixed_negatives and loss_type != "in_batch_softmax":
+        logger.warning(
+            "training.mixed_negatives=%d ignored: only the in_batch_softmax "
+            "loss consumes a mixed-negative pool.", mixed_negatives,
+        )
+        mixed_negatives = 0
+    # Schedule horizon for training.lr_schedule: the exact optimizer step
+    # count (full batches + remainder per epoch, drop_last=False).
+    total_opt_steps = max(1, -(-len(train_df) // batch_size)) * num_epochs
     tscfg = TrainStepConfig(
         num_items=num_items,
         negatives_per_positive=negatives_per_positive,
@@ -602,7 +612,11 @@ def run_single_experiment(
             training_config.get("softmax_temperature", 1.0)
         ),
         logq_correction=bool(training_config.get("logq_correction", True)),
-        opt=parse_dense_opt_config(training_config),
+        mixed_negatives=mixed_negatives,
+        sparse_weight_decay=float(
+            training_config.get("sparse_weight_decay", 0.0)
+        ),
+        opt=parse_dense_opt_config(training_config, total_steps=total_opt_steps),
     )
     train_step = make_train_step(
         model_cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel

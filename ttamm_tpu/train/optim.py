@@ -36,6 +36,36 @@ class DenseOptConfig(NamedTuple):
     b2: float = 0.999
     eps: float = 1e-8
     momentum: float = 0.0
+    # Step-level lr schedule, computed ON DEVICE from the optimizer step
+    # (no per-epoch recompiles; the reference has no scheduler at all,
+    # ref training.py:1311-1350). 'constant' keeps lr a static Python
+    # float — the compiled program is unchanged vs pre-schedule builds.
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'linear'
+    lr_total_steps: int = 0  # schedule horizon (optimizer steps)
+    lr_final_factor: float = 0.0  # lr multiplier reached at the horizon
+
+
+def lr_scale(cfg: DenseOptConfig, step: jax.Array) -> jax.Array | float:
+    """Schedule multiplier for the (1-indexed) optimizer step ``step``.
+
+    Returns the static float 1.0 for the constant schedule so existing
+    programs stay byte-identical; otherwise a traced scalar in
+    ``[lr_final_factor, 1]`` (cosine/linear decay over
+    ``lr_total_steps``, clamped at the horizon).
+    """
+    if cfg.lr_schedule == "constant" or cfg.lr_total_steps <= 0:
+        return 1.0
+    t = jnp.clip(
+        (step.astype(jnp.float32) - 1.0) / max(cfg.lr_total_steps - 1, 1),
+        0.0,
+        1.0,
+    )
+    f = cfg.lr_final_factor
+    if cfg.lr_schedule == "linear":
+        return 1.0 + (f - 1.0) * t
+    if cfg.lr_schedule == "cosine":
+        return f + (1.0 - f) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    raise ValueError(f"Unknown lr_schedule: {cfg.lr_schedule}")
 
 
 def init_dense_opt(params: Params) -> DenseOptState:
@@ -50,6 +80,7 @@ def dense_opt_update(
 ) -> tuple[Params, DenseOptState]:
     step = state.step + 1
     t = step.astype(jnp.float32)
+    lr = cfg.lr * lr_scale(cfg, step)
 
     if cfg.name == "sgd":
         def upd(w, g, buf):
@@ -58,7 +89,7 @@ def dense_opt_update(
             if cfg.momentum:
                 buf = cfg.momentum * buf + g
                 g = buf
-            return w - cfg.lr * g, buf
+            return w - lr * g, buf
 
         flat = jax.tree.map(upd, params, grads, state.m)
         new_params = jax.tree.map(lambda pair: pair[0], flat, is_leaf=lambda x: isinstance(x, tuple))
@@ -72,12 +103,12 @@ def dense_opt_update(
         if cfg.name == "adam" and cfg.weight_decay:
             g = g + cfg.weight_decay * w
         if cfg.name == "adamw" and cfg.weight_decay:
-            w = w - cfg.lr * cfg.weight_decay * w
+            w = w - lr * cfg.weight_decay * w
         m = cfg.b1 * m + (1.0 - cfg.b1) * g
         v = cfg.b2 * v + (1.0 - cfg.b2) * jnp.square(g)
         m_hat = m / bc1
         v_hat = v / bc2
-        w = w - cfg.lr * m_hat / (jnp.sqrt(v_hat) + cfg.eps)
+        w = w - lr * m_hat / (jnp.sqrt(v_hat) + cfg.eps)
         return w, m, v
 
     triples = jax.tree.map(upd, params, grads, state.m, state.v)
@@ -88,13 +119,26 @@ def dense_opt_update(
     return new_params, DenseOptState(m=new_m, v=new_v, step=step)
 
 
-def parse_dense_opt_config(training_cfg: dict) -> DenseOptConfig:
+def parse_dense_opt_config(
+    training_cfg: dict, *, total_steps: int = 0
+) -> DenseOptConfig:
     """Resolve the YAML ``training:`` section into a DenseOptConfig
-    (ref ``training.py:1311-1335``)."""
+    (ref ``training.py:1311-1335``).
+
+    ``training.lr_schedule`` may be a string (``cosine``/``linear``) or a
+    mapping ``{type, final_factor, total_steps}``; ``total_steps``
+    defaults to the caller-supplied horizon (the pipeline passes
+    steps-per-epoch x num_epochs)."""
     name = str(training_cfg.get("optimizer", "adam")).lower()
     if name not in {"adam", "adamw", "sgd"}:
         raise ValueError(f"Unsupported optimizer: {name}")
     betas = training_cfg.get("betas", (0.9, 0.999))
+    sched = training_cfg.get("lr_schedule", "constant") or "constant"
+    if isinstance(sched, str):
+        sched = {"type": sched}
+    sched_type = str(sched.get("type", "constant")).lower()
+    if sched_type not in {"constant", "cosine", "linear"}:
+        raise ValueError(f"Unsupported lr_schedule: {sched_type}")
     return DenseOptConfig(
         name=name,
         lr=float(training_cfg.get("learning_rate", 1e-3)),
@@ -102,4 +146,7 @@ def parse_dense_opt_config(training_cfg: dict) -> DenseOptConfig:
         b1=float(betas[0]),
         b2=float(betas[1]),
         momentum=float(training_cfg.get("momentum", 0.0)),
+        lr_schedule=sched_type,
+        lr_total_steps=int(sched.get("total_steps", total_steps)),
+        lr_final_factor=float(sched.get("final_factor", 0.0)),
     )

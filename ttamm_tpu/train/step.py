@@ -37,7 +37,7 @@ from ..ops.sparse_adam import (
     _pick_block,
     sparse_adam_update,
 )
-from .optim import DenseOptConfig, dense_opt_update
+from .optim import DenseOptConfig, dense_opt_update, lr_scale
 from .state import BatchData, TrainState, dense_table_names, sparse_table_names
 
 Params = dict[str, Any]
@@ -82,6 +82,17 @@ class TrainStepConfig(NamedTuple):
     # falls back to uncorrected. See _in_batch_softmax_loss.
     softmax_temperature: float = 1.0
     logq_correction: bool = True
+    # In-batch softmax only: number of UNIFORM negatives appended to the
+    # in-batch candidate pool (mixed negative sampling, Yang et al. 2020)
+    # — one shared pool per step, encoded once, logits [B, B+M]. The logQ
+    # correction becomes the mixture log((B*q_pop + M/N)/(B+M)), which
+    # reduces exactly to the plain logQ at M=0. Restores gradient signal
+    # on rare/cold items that in-batch negatives alone almost never
+    # sample. 0 = off (round-4 behavior).
+    mixed_negatives: int = 0
+    # Decoupled weight decay on the sparse ID tables (touched rows only;
+    # torch SparseAdam has none — see ops/sparse_adam.py). 0 = parity.
+    sparse_weight_decay: float = 0.0
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -158,7 +169,9 @@ def _forward_embeddings(
 
     dim = pos_emb.shape[-1]
     if tscfg.loss_type == "in_batch_softmax":
-        neg_emb = neg_emb.reshape(batch, 0, dim)
+        # Mixed-negative pool stays FLAT [M, D]: one shared candidate set
+        # for the whole batch (M = tscfg.mixed_negatives, possibly 0).
+        pass
     else:
         neg_emb = neg_emb.reshape(batch, num_neg, dim)
     return user_emb, pos_emb, neg_emb, mimic_user_loss, mimic_item_loss
@@ -179,7 +192,8 @@ def _bce_stack(pos_logits, neg_logits):
 
 
 def _in_batch_softmax_loss(
-    user_emb, pos_emb, pos_idx, *, log_q=None, temperature=1.0
+    user_emb, pos_emb, pos_idx, *, neg_emb=None, neg_idx=None,
+    num_items=0, log_q=None, temperature=1.0,
 ):
     """Sampled-softmax with in-batch negatives: every other row's positive
     item is a negative; rows whose item equals this row's item are masked
@@ -194,18 +208,47 @@ def _in_batch_softmax_loss(
     from its logit — popular candidates get their over-representation in
     the negative pool discounted exactly.
 
+    ``neg_emb``/``neg_idx``: optional shared pool of M uniformly sampled
+    extra negatives (mixed negative sampling, Yang et al. 2020 "Mixed
+    Negative Sampling for Learning Two-tower Neural Networks") appended
+    as candidate columns — logits become [B, B+M]. With ``log_q`` the
+    correction uses the MIXTURE sampling probability
+    ``log((B*q_pop(i) + M/N) / (B+M))`` for every candidate, which
+    reduces to the plain logQ (up to a softmax-invariant constant shift)
+    at M=0; accidental hits (a pool item equal to a row's positive) are
+    masked per row like in-batch duplicates.
+
     ``temperature``: divides the logits before the softmax (logits here
     are raw dot products per reference parity, so the learnable embedding
     scale already absorbs most of this; ships for completeness).
     """
+    batch = pos_idx.shape[0]
+    cand_idx = pos_idx
     logits = jnp.dot(user_emb, pos_emb.T, preferred_element_type=jnp.float32)
+    mixed = neg_emb is not None and neg_emb.shape[0] > 0
+    if mixed:
+        extra = jnp.dot(
+            user_emb, neg_emb.T, preferred_element_type=jnp.float32
+        )  # [B, M]
+        logits = jnp.concatenate([logits, extra], axis=1)
+        cand_idx = jnp.concatenate([pos_idx, neg_idx])
     if temperature != 1.0:
         logits = logits / jnp.asarray(temperature, logits.dtype)
     if log_q is not None:
-        logits = logits - jnp.take(log_q, pos_idx)[None, :]
-    same_item = pos_idx[:, None] == pos_idx[None, :]
-    eye = jnp.eye(pos_idx.shape[0], dtype=bool)
-    mask = same_item & ~eye  # duplicate items elsewhere in batch
+        cand_log_q = jnp.take(log_q, cand_idx)
+        if mixed:
+            m = neg_emb.shape[0]
+            q_mix = (batch * jnp.exp(cand_log_q) + m / num_items) / (
+                batch + m
+            )
+            cand_log_q = jnp.log(q_mix)
+        logits = logits - cand_log_q[None, :]
+    same_item = cand_idx[None, :] == pos_idx[:, None]  # [B, B+M]
+    diag = (
+        jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        == jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    )
+    mask = same_item & ~diag  # this row's item anywhere else in the pool
     logits = jnp.where(mask, jnp.finfo(logits.dtype).min, logits)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.diagonal(log_probs))
@@ -299,6 +342,8 @@ def make_train_step(
         if tscfg.loss_type == "in_batch_softmax":
             retrieval_loss = _in_batch_softmax_loss(
                 user_emb, pos_emb, pos_idx,
+                neg_emb=neg_emb, neg_idx=neg_idx_flat,
+                num_items=tscfg.num_items,
                 log_q=data.item_log_q if tscfg.logq_correction else None,
                 temperature=tscfg.softmax_temperature,
             )
@@ -342,7 +387,18 @@ def make_train_step(
     def train_step(state: TrainState, data: BatchData, u_idx, pos_idx, rng):
         rng_neg, rng_drop = jax.random.split(rng)
         if tscfg.loss_type == "in_batch_softmax":
-            neg_flat = jnp.zeros((0,), jnp.int32)
+            # Mixed-negative pool: M uniform draws SHARED by the whole
+            # batch (encoded once; the mixture logQ correction absorbs
+            # the sampling bias, accidental hits are masked in the loss —
+            # no per-user rejection needed).
+            neg_flat = (
+                jax.random.randint(
+                    rng_neg, (tscfg.mixed_negatives,), 0, tscfg.num_items,
+                    dtype=jnp.int32,
+                )
+                if tscfg.mixed_negatives > 0
+                else jnp.zeros((0,), jnp.int32)
+            )
         else:
             user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
             neg = sample_negative_items(
@@ -442,6 +498,10 @@ def make_train_step(
         for name in dense_tbl_names:
             new_tables[name] = new_dense_target["tables"][name]
 
+        # Scheduled sparse lr: the same on-device schedule the dense
+        # optimizer applies (1-indexed step = state.step + 1). Constant
+        # schedule keeps the static Python float — unchanged program.
+        lr_t = sparse_lr * lr_scale(tscfg.opt, state.step + 1)
         new_opt_sparse = dict(state.opt_sparse)
         for name in sparse_names:
             # Auto-selected Pallas quietly defers to a packed moment
@@ -469,7 +529,8 @@ def make_train_step(
                         state.opt_sparse[name],
                         row_idx[name],
                         grads["sparse_rows"][name],
-                        lr=sparse_lr, b1=b1, b2=b2,
+                        lr=lr_t, b1=b1, b2=b2,
+                        weight_decay=tscfg.sparse_weight_decay,
                     )
                 )
                 continue
@@ -478,7 +539,8 @@ def make_train_step(
                 state.opt_sparse[name],
                 row_idx[name],
                 grads["sparse_rows"][name],
-                lr=sparse_lr, b1=b1, b2=b2,
+                lr=lr_t, b1=b1, b2=b2,
+                weight_decay=tscfg.sparse_weight_decay,
                 use_pallas=use_pallas_rows and mesh is None
                 and not (tscfg.use_pallas is None and packed),
             )
@@ -561,7 +623,14 @@ def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
     @jax.jit
     def eval_loss_step(state: TrainState, data: BatchData, u_idx, pos_idx, rng):
         if tscfg.loss_type == "in_batch_softmax":
-            neg_flat = jnp.zeros((0,), jnp.int32)
+            neg_flat = (
+                jax.random.randint(
+                    rng, (tscfg.mixed_negatives,), 0, tscfg.num_items,
+                    dtype=jnp.int32,
+                )
+                if tscfg.mixed_negatives > 0
+                else jnp.zeros((0,), jnp.int32)
+            )
         else:
             user_pos = jnp.take(data.positive_rows, u_idx, axis=0)
             neg = sample_negative_items(
@@ -591,6 +660,8 @@ def make_eval_loss_step(cfg: ModelConfig, tscfg: TrainStepConfig):
         if tscfg.loss_type == "in_batch_softmax":
             return _in_batch_softmax_loss(
                 user_emb, pos_emb, pos_idx,
+                neg_emb=neg_emb, neg_idx=neg_flat,
+                num_items=tscfg.num_items,
                 log_q=data.item_log_q if tscfg.logq_correction else None,
                 temperature=tscfg.softmax_temperature,
             )
