@@ -81,6 +81,13 @@ def main() -> None:
     # for smoke-testing the harness without touching a busy TPU tunnel.
     forced = os.environ.get("BENCH_PLATFORM")
     if forced:
+        if forced not in {"cpu", "tpu", "axon"}:
+            raise SystemExit(
+                f"BENCH_PLATFORM={forced!r} is not one of cpu/tpu/axon — "
+                "a typo here would otherwise surface as an obscure "
+                "backend-init failure after the retry loop."
+            )
+        print(f"bench: forcing platform {forced}", file=sys.stderr)
         jax.config.update("jax_platforms", forced)
 
     # The remote-TPU backend occasionally fails to initialize transiently;
@@ -167,6 +174,41 @@ def main() -> None:
         ),
     )
 
+    # ---- utilization denominators (VERDICT r4 #6) -------------------------
+    # Achieved fraction of the documented hardware bounds (RESULTS.md
+    # "Speed-of-light accounting"); the traffic models below are the
+    # table's own decomposition, re-derived at the current shapes.
+    HBM_BW = 819e9  # v5e HBM bytes/s (public spec)
+    # Fused no-slab kernel wall: score-tile VMEM traffic at 8 B/score
+    # (measured ~10 ms per 2.05G fp32 scores at 2M items, RESULTS round 3).
+    SCORE_VMEM_BW = 1.64e12
+
+    from ttamm_tpu.train.state import dense_table_names, sparse_table_names
+
+    def _train_hbm_model_bytes() -> float:
+        """Modeled dominant HBM bytes of one BCE train step.
+
+        - dense AdamW: ~7 passes over the dense target (w/m/v read+write
+          + grad) — params AND dense-updated aug tables;
+        - sparse-row traffic: per touched lane, 2 moment gathers + 3
+          scatters + 2 forward gathers (id+aug rows), dim*4 B each;
+        - feature gathers: user + (1+neg) item feature rows.
+        Descriptor-rate and sort costs are NOT bytes and are excluded, so
+        the utilization reads as a fraction of the pure-bandwidth floor.
+        """
+        dense_param_bytes = sum(
+            np.prod(np.shape(x)) * 4 for x in jax.tree.leaves(state.dense)
+        )
+        dense_tbl_bytes = sum(
+            np.prod(np.shape(state.tables[n])) * 4
+            for n in dense_table_names(cfg)
+        )
+        lanes = batch + batch * (1 + neg)  # user + item touched lanes
+        n_sparse = max(len(sparse_table_names(cfg)) // 2, 1)
+        rows_bytes = lanes * dim * 4 * (2 + 3 + 2) * n_sparse
+        feat_bytes = (batch + batch * (1 + neg)) * feat * 4
+        return 7.0 * (dense_param_bytes + dense_tbl_bytes) + rows_bytes + feat_bytes
+
     state = place_state(mesh, state)
     data = place_data(mesh, data)
     from ttamm_tpu.train import make_train_step
@@ -222,6 +264,9 @@ def main() -> None:
         train_seconds = min(train_seconds, time.perf_counter() - t0)
     state = state2
     examples_per_s = steps * batch / train_seconds
+    step_model_bytes = _train_hbm_model_bytes()
+    train_hbm_gbps = step_model_bytes * steps / train_seconds / 1e9
+    train_hbm_util = train_hbm_gbps * 1e9 / HBM_BW
 
     # Corrected in-batch softmax training extra (round 4): the
     # `training.loss: in_batch_softmax` option with its default logQ
@@ -306,6 +351,13 @@ def main() -> None:
 
     queries_per_s = time_queries(make_run_queries("float32"))
     queries_per_s_bf16 = time_queries(make_run_queries("bfloat16"))
+
+    def _slab_util(qps: float, itemsize: int) -> float:
+        # Slab-algorithm bound: the [q, N] score slab is written by the
+        # matmul and re-read by the selection einsum — 2 x N x itemsize
+        # bytes per query at HBM bandwidth (RESULTS.md speed-of-light:
+        # the remaining gap is the descriptor/MXU-bound selection stage).
+        return qps * 2 * num_items * itemsize / HBM_BW
 
     # Corpus-scale extra (VERDICT r2 #1): the train step at the reference's
     # full 2M-item table scale, sparse-mimic mode (the at-scale optimizer
@@ -424,6 +476,13 @@ def main() -> None:
         scale_extra["scale_topk_bf16_queries_per_s"] = time_scale_queries(
             "bfloat16"
         )
+        # Fused no-slab kernel bound: score-tile VMEM traffic, 8 B/score
+        # (the [B, N] slab never exists in HBM; RESULTS.md round 3).
+        scale_extra["scale_topk_fp32_vmem_util"] = round(
+            scale_extra["scale_topk_queries_per_s"]
+            * scale_items * 8 / SCORE_VMEM_BW,
+            3,
+        )
 
         # The SHIPPED fp32-exact serving path (round 4): fused search over
         # a bf16-STORED corpus — bit-identical ranking to the fp32 fused
@@ -469,6 +528,12 @@ def main() -> None:
         "extra": {
             "topk_queries_per_s": round(queries_per_s, 1),
             "topk_bf16_queries_per_s": round(queries_per_s_bf16, 1),
+            # Achieved fraction of the documented hardware bounds
+            # (VERDICT r4 #6; denominators in RESULTS.md round-5 ledger).
+            "train_hbm_util": round(train_hbm_util, 3),
+            "train_hbm_model_gb_per_step": round(step_model_bytes / 1e9, 3),
+            "topk_slab_util": round(_slab_util(queries_per_s, 4), 3),
+            "topk_bf16_slab_util": round(_slab_util(queries_per_s_bf16, 2), 3),
             "num_users": num_users,
             "num_items": num_items,
             "batch": batch,

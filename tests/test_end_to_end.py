@@ -241,7 +241,12 @@ def test_end_to_end_in_batch_softmax_logq(synth_dir, tmp_path):
     assert np.isfinite(result.history.train_loss).all()
     assert (artifact_dir / "report.md").exists()
 
-    # and the plain (uncorrected) variant still runs when opted out
+
+@pytest.mark.slow_variant
+def test_end_to_end_in_batch_softmax_plain_variant(synth_dir, tmp_path):
+    """The plain (uncorrected) in-batch variant still runs when opted
+    out. Split from the logq test (advisor r4: two full pipelines in one
+    test doubled its wall time); deselect with -m "not slow_variant"."""
     artifact_dir2 = tmp_path / "artifacts_ib_plain"
     config2 = _config(synth_dir, artifact_dir2)
     config2["training"]["loss"] = "in_batch_softmax"

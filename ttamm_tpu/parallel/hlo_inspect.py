@@ -50,9 +50,26 @@ class CollectiveOp:
     result_shapes: tuple[str, ...]  # e.g. ('f32[16,16]',)
     bytes: int  # total result payload bytes
     max_component_bytes: int  # largest single tensor in a fused tuple
+    group_size: int | None = None  # devices per replica group (mesh axis)
 
     def __str__(self) -> str:
         return f"{self.op} {'+'.join(self.result_shapes)} ({self.bytes} B)"
+
+
+# replica_groups={{0,2},{1,3}} (explicit) or replica_groups=[4,2]<=[8]
+# (iota form: num_groups x group_size).
+_GROUPS_EXPLICIT_RE = re.compile(r"replica_groups=\{\{([\d,]+)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[\d+,(\d+)\]")
+
+
+def _parse_group_size(line: str) -> int | None:
+    m = _GROUPS_EXPLICIT_RE.search(line)
+    if m:
+        return m.group(1).count(",") + 1
+    m = _GROUPS_IOTA_RE.search(line)
+    if m:
+        return int(m.group(1))
+    return None
 
 
 def _shape_bytes(shape: str) -> int:
@@ -81,12 +98,15 @@ def collect_collectives(hlo_text: str) -> list[CollectiveOp]:
             f"{t}[{dims}]" for t, dims in _SHAPE_RE.findall(result)
         )
         per_shape = [_shape_bytes(s) for s in shapes]
+        line_end = hlo_text.find("\n", m.end())
+        line = hlo_text[m.end() : line_end if line_end != -1 else None]
         ops.append(
             CollectiveOp(
                 op=op.removesuffix("-start"),
                 result_shapes=shapes,
                 bytes=sum(per_shape),
                 max_component_bytes=max(per_shape, default=0),
+                group_size=_parse_group_size(line),
             )
         )
     return ops

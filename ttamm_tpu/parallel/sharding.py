@@ -179,12 +179,16 @@ def data_shardings(mesh: Mesh, data: BatchData) -> BatchData:
     )
 
 
-def _pad_rows_to(arr: jax.Array | np.ndarray, rows: int) -> np.ndarray:
+def _pad_rows_to(
+    arr: jax.Array | np.ndarray, rows: int, fill: float = 0.0
+) -> np.ndarray:
     arr = np.asarray(arr)
     if arr.shape[0] == rows:
         return arr
     pad_shape = (rows - arr.shape[0],) + arr.shape[1:]
-    return np.concatenate([arr, np.zeros(pad_shape, arr.dtype)], axis=0)
+    return np.concatenate(
+        [arr, np.full(pad_shape, fill, arr.dtype)], axis=0
+    )
 
 
 def pad_state_rows(state: TrainState, model_parallel: int) -> TrainState:
@@ -239,17 +243,22 @@ def pad_batch_data(data: BatchData, model_parallel: int) -> BatchData:
     if model_parallel <= 1:
         return data
 
-    def pad(arr):
+    def pad(arr, fill=0.0):
         if arr is None:
             return None
-        return _pad_rows_to(arr, round_up(np.asarray(arr).shape[0], model_parallel))
+        return _pad_rows_to(
+            arr, round_up(np.asarray(arr).shape[0], model_parallel), fill
+        )
 
     return BatchData(
         user_features=pad(data.user_features),
         item_features=pad(data.item_features),
         positive_rows=pad(data.positive_rows),
         category_ids=pad(data.category_ids),
-        item_log_q=pad(data.item_log_q),
+        # log q = 0 would mark padding items as probability-1 popular for
+        # any consumer that scans the whole vector; a large negative
+        # sentinel makes padding rows inert by construction (advisor r4).
+        item_log_q=pad(data.item_log_q, fill=float(np.finfo(np.float32).min)),
     )
 
 
