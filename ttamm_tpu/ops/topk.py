@@ -294,9 +294,14 @@ def mips_topk(
             else "chunked"
         )
     if algorithm == "fused":
+        # Off-TPU an EXPLICIT 'fused' runs the kernels in interpreter
+        # mode (auto never routes here off-TPU) — same convention as the
+        # row kernels (ops/pallas/rows._resolve_interpret).
+        interp = jax.default_backend() != "tpu"
         return _fused_groupmax_topk(
             queries, item_embeddings, k_eff, num_items,
-            mask_rows=mask_rows, use_pallas=use_pallas,
+            mask_rows=mask_rows, use_pallas=use_pallas and not interp,
+            interpret=interp,
         )
     if algorithm == "group_exact":
         return _group_exact_topk(

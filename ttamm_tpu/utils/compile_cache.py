@@ -41,6 +41,11 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None) -> str:
         or os.environ.get("TTAMM_COMPILE_CACHE")
         or _DEFAULT_DIR
     )
+    # Per-backend subdirectory: the axon TPU entries are compiled by the
+    # remote server, and a CPU run deserializing them (or vice versa)
+    # trips XLA:CPU's machine-feature check (observed: AOT results built
+    # with +prefer-no-scatter loaded on a host without it).
+    path = path / jax.default_backend()
     path.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
