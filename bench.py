@@ -90,6 +90,10 @@ def main() -> None:
         print(f"bench: forcing platform {forced}", file=sys.stderr)
         jax.config.update("jax_platforms", forced)
 
+    from ttamm_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
     # The remote-TPU backend occasionally fails to initialize transiently;
     # retry a few times before giving up.
     for attempt in range(3):

@@ -39,6 +39,12 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    if args.backend in ("auto", "device"):
+        # Tunnel-backed TPUs pay 20-40 s first-jit; cache across restarts.
+        from ttamm_tpu.utils import enable_persistent_cache
+
+        enable_persistent_cache()
+
     from ttamm_tpu.serve import FlatIndex
 
     index = FlatIndex.load(args.index)

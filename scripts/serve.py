@@ -40,6 +40,12 @@ def main() -> None:
     parser.add_argument("--host", default="127.0.0.1")
     args = parser.parse_args()
 
+    if args.backend in ("auto", "device"):
+        # Tunnel-backed TPUs pay 20-40 s first-jit; cache across restarts.
+        from ttamm_tpu.utils import enable_persistent_cache
+
+        enable_persistent_cache()
+
     from ttamm_tpu.serve.service import RetrievalService
 
     service = RetrievalService.from_artifacts(args.artifacts)

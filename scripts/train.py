@@ -37,7 +37,11 @@ def main() -> None:
         jax.config.update("jax_platforms", args.platform)
 
     from ttamm_tpu.pipelines import run_training
-    from ttamm_tpu.utils import load_config
+    from ttamm_tpu.utils import enable_persistent_cache, load_config
+
+    # Over the tunnel the first jit of each step shape costs 20-40 s; the
+    # persistent cache makes reruns (sweeps, resume, retries) pay ~0.
+    enable_persistent_cache()
 
     config = load_config(args.config)
     result = run_training(config)
