@@ -90,6 +90,11 @@ def main() -> None:
         help="embedding exchange strategy (TrainStepConfig.embedding_exchange)",
     )
     parser.add_argument(
+        "--comm-dtype", default="float32", choices=("float32", "bfloat16"),
+        help="wire dtype for batch-row gradient exchange "
+        "(TrainStepConfig.comm_dtype)",
+    )
+    parser.add_argument(
         "--mimic-sparse", action="store_true",
         help="mimic aug tables on sparse-row Adam (the at-scale optimizer "
         "choice; dense aug tables force global-batch row-grad replication)",
@@ -190,6 +195,7 @@ def main() -> None:
             cal_max_categories=64,
             use_pallas=False,  # XLA exchange path; kernels are shard-local
             embedding_exchange=args.exchange,
+            comm_dtype=args.comm_dtype,
             opt=parse_dense_opt_config(
                 {"optimizer": "adamw", "learning_rate": 1e-3,
                  "weight_decay": 0.01}
@@ -238,6 +244,7 @@ def main() -> None:
                     {
                         "loss": loss,
                         "exchange": args.exchange,
+                        "comm_dtype": args.comm_dtype,
                         "mimic_sparse": args.mimic_sparse,
                         "mesh": f"{dp}x{mp}",
                         "devices": dp * mp,

@@ -48,6 +48,9 @@ def _compiled_step_hlo(
     sparse: bool = True,
     exchange: str = "gspmd",
     tensor_parallel: bool = False,
+    comm_dtype: str = "float32",
+    use_pallas: bool | None = None,
+    lowered_text: bool = False,
 ) -> str:
     """Compile the sharded hybrid step at [num_rows, D] tables; return HLO."""
     mc = {
@@ -96,6 +99,8 @@ def _compiled_step_hlo(
             {"optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 0.01}
         ),
         embedding_exchange=exchange,
+        comm_dtype=comm_dtype,
+        use_pallas=use_pallas,
     )
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
     pstate = place_state(
@@ -107,7 +112,10 @@ def _compiled_step_hlo(
     )
     u = jnp.asarray(rng.integers(0, num_rows, B).astype(np.int32))
     p = jnp.asarray(rng.integers(0, num_rows, B).astype(np.int32))
-    return step.lower(pstate, pdata, u, p, jax.random.key(1)).compile().as_text()
+    lowered = step.lower(pstate, pdata, u, p, jax.random.key(1))
+    if lowered_text:
+        return lowered.as_text()
+    return lowered.compile().as_text()
 
 
 def test_no_table_sized_collectives():
@@ -241,3 +249,32 @@ def test_mesh_eval_no_corpus_sized_collectives():
     slab_bytes = rows * D * 4
     bad = oversized_collectives(hlo, slab_bytes // 10)
     assert not bad, [str(c) for c in bad]
+
+
+def test_comm_bf16_emits_bf16_row_grad_allgathers():
+    """comm_dtype='bfloat16' must put bf16 on the wire of the explicit
+    shard_map exchange (the Pallas sparse-update path — the TPU
+    production configuration; kernels interpret on CPU). Pinned on the
+    LOWERED program (our emission): the XLA:CPU backend widens bf16
+    collectives back to f32 during backend optimization (observed), but
+    XLA:TPU executes them natively — the compiled-text pin would test
+    the CPU backend, not our code. The barrier in comm_cast /
+    sharded_sparse_adam_update is load-bearing: without it XLA hoists
+    the converts across the collective even at emission level."""
+    rows = 8192
+    low_f32 = _compiled_step_hlo(rows, use_pallas=True, lowered_text=True)
+    low_bf16 = _compiled_step_hlo(
+        rows, comm_dtype="bfloat16", use_pallas=True, lowered_text=True
+    )
+
+    def bf16_gathers(txt):
+        return sum(
+            1
+            for line in txt.splitlines()
+            if "all_gather" in line and "bf16" in line
+        )
+
+    assert bf16_gathers(low_f32) == 0
+    # user + item sparse-update grad gathers (dedup'd modules may fold
+    # same-shape gathers; require at least one per distinct lane shape).
+    assert bf16_gathers(low_bf16) >= 2, low_bf16.count("all_gather")

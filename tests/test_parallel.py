@@ -661,3 +661,46 @@ def test_sharded_step_lr_schedule_matches_single_device():
         plrows = np.asarray(pl_state.tables[name])[: rows.shape[0]]
         assert np.allclose(rows, srows, atol=1e-5), name
         assert np.allclose(rows, plrows, atol=1e-5), name
+
+
+def test_sharded_step_comm_bf16_matches_single_device():
+    """comm_dtype='bfloat16' rounds row grads once at the wire; the
+    sharded step must match the single-device step WITH THE SAME FLAG
+    (both paths round identically, math fp32 after the widen)."""
+    cfg, state, data, tscfg = _setup()
+    tscfg = tscfg._replace(comm_dtype="bfloat16")
+    rng = np.random.default_rng(17)
+    step = make_train_step(cfg, tscfg)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(31)
+
+    ref_state, ref_metrics = step(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = place_state(
+        mesh, pad_state_rows(jax.tree.map(jnp.copy, state), 2)
+    )
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    for name in ref_state.tables:
+        rows = np.asarray(ref_state.tables[name])
+        srows = np.asarray(new_state.tables[name])[: rows.shape[0]]
+        assert np.allclose(rows, srows, atol=1e-5), name
+
+    # ...and stays CLOSE to the exact fp32 path. Adam's step-1 delta is
+    # ~lr*sign(g), so a bf16-rounded near-zero grad can move an element
+    # by up to ~2*lr — bound the diff by that, not by the 0.4% relative
+    # rounding.
+    exact_state, _ = make_train_step(cfg, tscfg._replace(comm_dtype="float32"))(
+        jax.tree.map(jnp.copy, state), data, u, p, key
+    )
+    w = np.asarray(exact_state.tables["item_id"])
+    wb = np.asarray(ref_state.tables["item_id"])
+    assert np.allclose(w, wb, atol=2.5e-3)  # 2.5x lr
+    assert not np.array_equal(w, wb)  # the rounding really happened

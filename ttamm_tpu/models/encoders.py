@@ -512,6 +512,11 @@ def tower_forward(
     if cfg.fusion == "identity" or cfg.feature_encoder is None or features is None:
         return id_rows
 
+    if features.dtype != id_rows.dtype:
+        # bf16-stored feature matrices (`data.features_dtype`): the rows
+        # travel HBM/ICI at half width; all tower math stays in the
+        # param dtype from here.
+        features = features.astype(id_rows.dtype)
     feat_repr = apply_feature_encoder(
         dense, cfg, features, train=train, dropout_rng=dropout_rng, tp=tp
     )

@@ -185,7 +185,8 @@ def sparse_adam_update(
     step = state.step + 1
 
     target_rows, grads = coalesce_row_grads(
-        indices.astype(jnp.int32), row_grads, scratch_row=scratch_row
+        indices.astype(jnp.int32), row_grads.astype(table.dtype),
+        scratch_row=scratch_row,
     )
 
     m_rows = gather_rows(state.m, target_rows, block=block)
@@ -230,6 +231,8 @@ def sparse_adam_update_sorted(
     """
     step = state.step + 1
     n = indices.shape[0]
+    # bf16 comm_dtype arrives rounded; all math is fp32 from here.
+    row_grads = row_grads.astype(table.dtype)
 
     order = jnp.argsort(indices.astype(jnp.int32))
     sorted_idx = indices.astype(jnp.int32)[order]
@@ -291,6 +294,7 @@ def sparse_adam_update_packed(
     step = state.step + 1
     n = indices.shape[0]
     dim = table.shape[1]
+    row_grads = row_grads.astype(table.dtype)
 
     order = jnp.argsort(indices.astype(jnp.int32))
     sorted_idx = indices.astype(jnp.int32)[order]

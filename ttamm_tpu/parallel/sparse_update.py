@@ -85,10 +85,19 @@ def sharded_sparse_adam_update(
     def body(table, m, v, step, idx, grads, lr):
         # [n/dp] -> [n]: identical global batch on every device; the
         # all-gather moves batch-row-sized data over the data axis only.
+        # A bf16 comm_dtype halves this — the step's dominant wire term
+        # (RESULTS.md round-5 scaling prediction) — and widens right
+        # after; all update math stays in the table dtype.
         idx = jax.lax.all_gather(
             idx.astype(jnp.int32), DATA_AXIS, axis=0, tiled=True
         )
         grads = jax.lax.all_gather(grads, DATA_AXIS, axis=0, tiled=True)
+        if grads.dtype != table.dtype:
+            # The barrier pins the widen AFTER the collective — XLA
+            # otherwise rewrites convert(all_gather_bf16(x)) into
+            # all_gather_f32(convert(x)), putting f32 back on the wire
+            # (observed in compiled HLO).
+            grads = jax.lax.optimization_barrier(grads).astype(table.dtype)
 
         # Coalesce duplicates in the SAME order as the single-device
         # sorted path: stable sort by row id, segment-sum runs. EVERY

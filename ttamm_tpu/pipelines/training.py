@@ -495,14 +495,24 @@ def run_single_experiment(
             np.log(np.maximum(counts, 1.0) / max(counts.sum(), 1.0)),
             dtype=jnp.float32,
         )
+    # bf16-stored feature matrices (`data.features_dtype: bfloat16`):
+    # halves feature HBM footprint + per-step feature-row gather traffic
+    # (the largest per-row payload: F=105-608 floats vs D=128 embeddings)
+    # and the multi-chip feature exchange. Towers upcast after the gather
+    # (models/encoders.py); inputs are normalized O(1) floats, so the one
+    # bf16 rounding is measured quality-neutral (RESULTS.md round-5).
+    features_dtype = str(data_config.get("features_dtype", "float32")).lower()
+    if features_dtype not in {"float32", "bfloat16"}:
+        raise ValueError(f"Unsupported data.features_dtype: {features_dtype}")
+    feat_dt = jnp.bfloat16 if features_dtype == "bfloat16" else jnp.float32
     data = BatchData(
         user_features=(
-            jnp.asarray(training_dataset.user_feature_matrix)
+            jnp.asarray(training_dataset.user_feature_matrix, dtype=feat_dt)
             if training_dataset.user_feature_matrix.size
             else None
         ),
         item_features=(
-            jnp.asarray(training_dataset.item_feature_matrix)
+            jnp.asarray(training_dataset.item_feature_matrix, dtype=feat_dt)
             if training_dataset.item_feature_matrix.size
             else None
         ),
@@ -612,6 +622,7 @@ def run_single_experiment(
             training_config.get("softmax_temperature", 1.0)
         ),
         logq_correction=bool(training_config.get("logq_correction", True)),
+        comm_dtype=str(training_config.get("comm_dtype", "float32")).lower(),
         mixed_negatives=mixed_negatives,
         sparse_weight_decay=float(
             training_config.get("sparse_weight_decay", 0.0)

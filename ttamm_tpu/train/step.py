@@ -93,6 +93,14 @@ class TrainStepConfig(NamedTuple):
     # Decoupled weight decay on the sparse ID tables (touched rows only;
     # torch SparseAdam has none — see ops/sparse_adam.py). 0 = parity.
     sparse_weight_decay: float = 0.0
+    # Wire dtype for batch-row gradient exchange: 'bfloat16' rounds every
+    # table-row gradient once before it is replicated/all-gathered across
+    # the mesh, halving the DOMINANT multi-chip wire term (the
+    # global-batch row-grad all-gathers — RESULTS.md round-5 scaling
+    # prediction). All optimizer math stays fp32 after the widen; the
+    # rounding applies on 1 chip too, so quality can be measured
+    # single-chip. 'float32' (default) = exact parity.
+    comm_dtype: str = "float32"
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -318,6 +326,21 @@ def make_train_step(
         def table_lookup(table, idx):
             return jnp.take(table, idx, axis=0)
 
+    if tscfg.comm_dtype not in {"float32", "bfloat16"}:
+        raise ValueError(f"Unknown comm_dtype: {tscfg.comm_dtype}")
+    comm_bf16 = tscfg.comm_dtype == "bfloat16"
+
+    def comm_cast(g):
+        # The bf16 value (not a cast-roundtrip, which XLA would fold) is
+        # what gets sharding-constrained / all-gathered — bf16 on the
+        # wire, widened to fp32 right after. The barrier pins the convert
+        # BEFORE the collective: XLA otherwise rewrites
+        # all_gather(convert_bf16(y)) into convert(all_gather_f32(y)),
+        # silently putting f32 back on the wire (observed in HLO).
+        if not comm_bf16:
+            return g
+        return jax.lax.optimization_barrier(g.astype(jnp.bfloat16))
+
     sparse_names = sparse_table_names(cfg)
     dense_tbl_names = dense_table_names(cfg)
     sparse_lr = tscfg.opt.lr
@@ -445,7 +468,11 @@ def make_train_step(
         grads["tables"] = {
             n: jnp.zeros_like(state.tables[n])
             .at[replicate(row_idx[n])]
-            .add(replicate(grads["table_rows"].pop(n)))
+            .add(
+                replicate(comm_cast(grads["table_rows"].pop(n))).astype(
+                    state.tables[n].dtype
+                )
+            )
             for n in dense_tbl_names
         }
         del grads["table_rows"]
@@ -528,7 +555,7 @@ def make_train_step(
                         state.tables[name],
                         state.opt_sparse[name],
                         row_idx[name],
-                        grads["sparse_rows"][name],
+                        comm_cast(grads["sparse_rows"][name]),
                         lr=lr_t, b1=b1, b2=b2,
                         weight_decay=tscfg.sparse_weight_decay,
                     )
@@ -538,7 +565,7 @@ def make_train_step(
                 state.tables[name],
                 state.opt_sparse[name],
                 row_idx[name],
-                grads["sparse_rows"][name],
+                comm_cast(grads["sparse_rows"][name]),
                 lr=lr_t, b1=b1, b2=b2,
                 weight_decay=tscfg.sparse_weight_decay,
                 use_pallas=use_pallas_rows and mesh is None
