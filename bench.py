@@ -313,6 +313,53 @@ def main() -> None:
         ib_seconds = min(ib_seconds, time.perf_counter() - t0)
     in_batch_examples_per_s = steps * batch / ib_seconds
 
+    # The RECOMMENDED config (configs/in_batch_softmax.yaml, round 5):
+    # in-batch loss + sparse-row Adam on the mimic tables — removes the
+    # O(rows) dense mimic AdamW (the largest in-batch step component)
+    # AND beats the dense-mimic quality ceiling (0.1348 vs 0.1270
+    # recall@10, 3 corpus seeds; RESULTS.md round-5).
+    cfg_dict_s = _model_cfg_dict(dim)
+    cfg_dict_s["adaptive_mimic"]["sparse"] = True
+    cfg_s = parse_model_config(
+        cfg_dict_s, user_feature_dim=feat, item_feature_dim=feat
+    )
+    state_sm = create_train_state(
+        jax.random.key(0), cfg_s, num_users=num_users, num_items=num_items
+    )
+    raw_ibs = make_train_step(cfg_s, tscfg_ib).__wrapped__
+
+    @jax.jit
+    def run_steps_ibs(state, data, u_all, p_all, key):
+        def body(st, xs):
+            u, p, i = xs
+            st, m = raw_ibs(st, data, u, p, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(
+            body, state, (u_all, p_all, jnp.arange(steps, dtype=jnp.int32))
+        )
+        probe = (
+            losses[-1]
+            + st.tables["user_id"][0, 0]
+            + st.step.astype(jnp.float32)
+        )
+        return st, losses, probe
+
+    _, _, probe_ibs = run_steps_ibs(
+        state_sm, data_ib, u_all, p_all, jax.random.key(0)
+    )
+    _sync(probe_ibs)
+    ibs_seconds = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        _, _, probe_ibs = run_steps_ibs(
+            state_sm, data_ib, u_all, p_all, jax.random.key(rep + 1)
+        )
+        _sync(probe_ibs)
+        ibs_seconds = min(ibs_seconds, time.perf_counter() - t0)
+    del state_sm
+    recommended_examples_per_s = steps * batch / ibs_seconds
+
     # Top-K queries/s: encode corpus once, then timed top-20 sweeps.
     item_emb = encode_corpus(state, data, cfg, "item", num_rows=num_items)
     item_emb = item_emb / jnp.maximum(
@@ -547,6 +594,9 @@ def main() -> None:
             "devices": n_devices,
             "mimic_optimizer": "sparse_row_adam" if mimic_sparse else "adamw",
             "in_batch_softmax_examples_per_s": round(in_batch_examples_per_s, 1),
+            "recommended_config_examples_per_s": round(
+                recommended_examples_per_s, 1
+            ),
             **scale_extra,
         },
     }

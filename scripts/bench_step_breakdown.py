@@ -46,6 +46,11 @@ def main() -> None:
     p.add_argument("--platform", default=None)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=2048)
+    p.add_argument(
+        "--loss", default="bce", choices=("bce", "in_batch_softmax"),
+        help="retrieval loss for the step variants (the sparse-opt "
+        "isolation sizes its lane counts to match)",
+    )
     args = p.parse_args()
 
     import jax
@@ -97,10 +102,16 @@ def main() -> None:
     )
     key = jax.random.key(1)
 
+    if args.loss == "in_batch_softmax":
+        data = data._replace(
+            item_log_q=jnp.full((num_items,), -np.log(num_items), jnp.float32)
+        )
+
     def step_cfg(**kw):
         base = dict(
             num_items=num_items,
             negatives_per_positive=neg,
+            loss_type=args.loss,
             lambda_mimic_user=0.15,
             lambda_mimic_item=0.15,
             lambda_category_alignment=0.01,
@@ -134,15 +145,17 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
         results[name] = best / steps * 1e3
 
-    # --- sparse adam alone (item table: B*(1+neg) rows; user: B rows) ---
+    # --- sparse adam alone (item table: B*(1+neg) rows BCE / B rows
+    # in-batch; user: B rows) ---
+    item_lanes = batch if args.loss == "in_batch_softmax" else batch * (1 + neg)
     item_idx = jnp.asarray(
-        rng.integers(0, num_items, (steps, batch * (1 + neg)), dtype=np.int32)
+        rng.integers(0, num_items, (steps, item_lanes), dtype=np.int32)
     )
     user_idx = jnp.asarray(
         rng.integers(0, num_users, (steps, batch), dtype=np.int32)
     )
     item_grads = jnp.asarray(
-        rng.standard_normal((batch * (1 + neg), dim), dtype=np.float32)
+        rng.standard_normal((item_lanes, dim), dtype=np.float32)
     )
     user_grads = jnp.asarray(
         rng.standard_normal((batch, dim), dtype=np.float32)
