@@ -95,11 +95,40 @@ def main() -> None:
         "(TrainStepConfig.comm_dtype)",
     )
     parser.add_argument(
+        "--update-routing", default="allgather",
+        choices=("allgather", "owner", "owner_unchecked"),
+        help="sparse-update row-grad routing (round 5). Non-allgather "
+        "implies the shard_map Pallas path (use_pallas=True; kernels "
+        "never execute here — AOT compile only). For wire analysis use "
+        "'owner_unchecked': the safe 'owner' carries the overflow "
+        "fallback branch inside a conditional, and the HLO walk would "
+        "count its collectives as always-paid (they are paid only on "
+        "capacity-overflow steps).",
+    )
+    parser.add_argument(
+        "--sparse-path", default="auto", choices=("auto", "gspmd", "pallas"),
+        help="sparse-update lowering: 'gspmd' = XLA scatter under the "
+        "partitioner (round-5 table baseline), 'pallas' = the shard_map "
+        "row-kernel path (what a TPU pod runs). 'auto' picks gspmd for "
+        "allgather routing (historical comparability) and pallas "
+        "otherwise (owner routings only exist there).",
+    )
+    parser.add_argument(
         "--mimic-sparse", action="store_true",
         help="mimic aug tables on sparse-row Adam (the at-scale optimizer "
         "choice; dense aug tables force global-batch row-grad replication)",
     )
     args = parser.parse_args()
+    if args.update_routing != "allgather" and args.sparse_path == "gspmd":
+        parser.error(
+            "owner routings require the shard_map path (--sparse-path "
+            "pallas/auto): GSPMD ignores update_routing"
+        )
+    use_pallas = (
+        args.update_routing != "allgather"
+        if args.sparse_path == "auto"
+        else args.sparse_path == "pallas"
+    )
 
     meshes = []
     for tok in args.meshes.split(","):
@@ -193,9 +222,12 @@ def main() -> None:
             lambda_mimic_item=0.15,
             lambda_category_alignment=0.01,
             cal_max_categories=64,
-            use_pallas=False,  # XLA exchange path; kernels are shard-local
+            # Owner routings exist only on the shard_map Pallas path; the
+            # pallas_calls are compiled but never run (AOT analysis).
+            use_pallas=use_pallas,
             embedding_exchange=args.exchange,
             comm_dtype=args.comm_dtype,
+            update_routing=args.update_routing,
             opt=parse_dense_opt_config(
                 {"optimizer": "adamw", "learning_rate": 1e-3,
                  "weight_decay": 0.01}
@@ -246,6 +278,8 @@ def main() -> None:
                         "exchange": args.exchange,
                         "comm_dtype": args.comm_dtype,
                         "mimic_sparse": args.mimic_sparse,
+                        "update_routing": args.update_routing,
+                        "sparse_path": "pallas" if use_pallas else "gspmd",
                         "mesh": f"{dp}x{mp}",
                         "devices": dp * mp,
                         "global_batch": batch,

@@ -704,3 +704,124 @@ def test_sharded_step_comm_bf16_matches_single_device():
     wb = np.asarray(ref_state.tables["item_id"])
     assert np.allclose(w, wb, atol=2.5e-3)  # 2.5x lr
     assert not np.array_equal(w, wb)  # the rounding really happened
+
+
+def test_sharded_step_owner_routing_matches_single_device():
+    """Round-5 owner-routed sparse update: compact-owned-lanes + capacity
+    all-gather (~1/mp the allgather routing's wire) must be numerically
+    equivalent to the single-device step. Two-phase duplicate summation
+    (within data shard, then across shards) is deterministic but not the
+    single sorted pass, hence allclose rather than bit-equality."""
+    cfg, state, data, tscfg = _setup()
+    tscfg = tscfg._replace(use_pallas=True, update_routing="owner")
+    rng = np.random.default_rng(19)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(37)
+
+    ref_state, ref_metrics = make_train_step(cfg, tscfg._replace(
+        update_routing="allgather"
+    ))(state, data, u, p, key)
+
+    for dp, mp in ((4, 2), (2, 4)):
+        mesh = build_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
+        pstate = place_state(
+            mesh, pad_state_rows(jax.tree.map(jnp.copy, state), mp)
+        )
+        pdata = place_data(mesh, pad_batch_data(data, mp))
+        sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+        new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+        assert float(metrics["loss"]) == pytest.approx(
+            float(ref_metrics["loss"]), rel=1e-4
+        )
+        for name in ref_state.tables:
+            rows = np.asarray(ref_state.tables[name])
+            srows = np.asarray(new_state.tables[name])[: rows.shape[0]]
+            assert np.allclose(rows, srows, atol=1e-5), (dp, mp, name)
+        for name, st in ref_state.opt_sparse.items():
+            sm = np.asarray(new_state.opt_sparse[name].m)[: st.m.shape[0]]
+            assert np.allclose(np.asarray(st.m), sm, atol=1e-6), (dp, mp, name)
+
+
+def test_sharded_step_owner_routing_overflow_fallback():
+    """A capacity too small for the batch's per-shard unique-row counts
+    must take the guaranteed lax.cond fallback (full allgather routing for
+    that step) and still match the single-device step exactly — overflow
+    is never dropped."""
+    from ttamm_tpu.parallel.sparse_update import owner_capacity
+
+    cfg, state, data, tscfg = _setup()
+    tscfg = tscfg._replace(
+        use_pallas=True, update_routing="owner", update_capacity_factor=0.01
+    )
+    # The tiny factor must actually produce a capacity below the unique
+    # owned counts (otherwise this test silently stops testing overflow).
+    assert owner_capacity(B * (1 + NEG), 4, 2, 0.01) < B * (1 + NEG) // 4
+    rng = np.random.default_rng(23)
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    p = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    key = jax.random.key(41)
+
+    ref_state, ref_metrics = make_train_step(cfg, tscfg)(state, data, u, p, key)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    pstate = place_state(
+        mesh, pad_state_rows(jax.tree.map(jnp.copy, state), 2)
+    )
+    pdata = place_data(mesh, pad_batch_data(data, 2))
+    sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+    new_state, metrics = sharded(pstate, pdata, u, p, key)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    for name in ref_state.tables:
+        rows = np.asarray(ref_state.tables[name])
+        srows = np.asarray(new_state.tables[name])[: rows.shape[0]]
+        assert np.allclose(rows, srows, atol=1e-5), name
+
+
+def test_owner_routing_unit_variants():
+    """Unit-level sharded_sparse_adam_update: 'owner', 'owner_unchecked'
+    (no cond; same result when capacity holds) and bf16 wire grads all
+    match the single-device reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ttamm_tpu.ops.sparse_adam import SparseAdamState, sparse_adam_update
+    from ttamm_tpu.parallel.sparse_update import sharded_sparse_adam_update
+
+    ROWS, D, N = 64, 8, 32
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(ROWS, D)).astype(np.float32))
+    zeros = jnp.zeros((ROWS, D), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, ROWS, N).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    tdev = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+
+    def run(routing, g):
+        st = SparseAdamState(
+            m=zeros, v=zeros, step=jnp.asarray(0, jnp.int32)
+        )
+        fn = jax.jit(
+            lambda t, s, i, gg: sharded_sparse_adam_update(
+                mesh, t, s, i, gg, lr=1e-2, routing=routing, interpret=True
+            )
+        )
+        return fn(tdev, st, idx, g)
+
+    st0 = SparseAdamState(m=zeros, v=zeros, step=jnp.asarray(0, jnp.int32))
+    ref_tbl, _ = sparse_adam_update(
+        table, st0, idx, grads, lr=1e-2, use_pallas=False
+    )
+    own_tbl, _ = run("owner", grads)
+    unc_tbl, _ = run("owner_unchecked", grads)
+    assert np.allclose(np.asarray(own_tbl), np.asarray(ref_tbl), atol=1e-5)
+    # Capacity holds at these shapes, so unchecked == checked exactly.
+    assert np.array_equal(np.asarray(unc_tbl), np.asarray(own_tbl))
+
+    # bf16 wire: double rounding (per-lane cast + wire re-cast of the
+    # coalesced sums) stays within the Adam step-1 envelope (~2x lr).
+    bf_tbl, _ = run("owner", grads.astype(jnp.bfloat16))
+    assert np.allclose(np.asarray(bf_tbl), np.asarray(ref_tbl), atol=2.5e-2)

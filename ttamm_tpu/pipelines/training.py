@@ -623,6 +623,16 @@ def run_single_experiment(
         ),
         logq_correction=bool(training_config.get("logq_correction", True)),
         comm_dtype=str(training_config.get("comm_dtype", "float32")).lower(),
+        # Shard-owner routing for the sparse-table row-grad exchange:
+        # ~1/mp the wire of the default allgather routing on a model-
+        # sharded mesh, with a guaranteed per-step allgather fallback on
+        # capacity overflow (parallel/sparse_update.py docstring).
+        update_routing=str(
+            training_config.get("update_routing", "allgather")
+        ).lower(),
+        update_capacity_factor=float(
+            training_config.get("update_capacity_factor", 2.0)
+        ),
         mixed_negatives=mixed_negatives,
         sparse_weight_decay=float(
             training_config.get("sparse_weight_decay", 0.0)

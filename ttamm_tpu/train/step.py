@@ -101,6 +101,17 @@ class TrainStepConfig(NamedTuple):
     # rounding applies on 1 chip too, so quality can be measured
     # single-chip. 'float32' (default) = exact parity.
     comm_dtype: str = "float32"
+    # Cross-chip routing for the sparse-table row-grad exchange (mesh +
+    # Pallas path only — parallel/sparse_update.py). 'allgather'
+    # (default): every chip receives the full global batch's row grads.
+    # 'owner': each chip compacts the coalesced lanes its model shard
+    # owns into a static capacity buffer and only THAT is all-gathered
+    # over data — ~capacity_factor/mp of the allgather wire, the dominant
+    # multi-chip term (RESULTS.md round-5 scaling prediction). Overflowing
+    # the capacity (id-popularity skew) falls back to the allgather
+    # routing FOR THAT STEP via a mesh-uniform lax.cond — never dropped.
+    update_routing: str = "allgather"
+    update_capacity_factor: float = 2.0
     opt: DenseOptConfig = DenseOptConfig()
 
 
@@ -558,6 +569,8 @@ def make_train_step(
                         comm_cast(grads["sparse_rows"][name]),
                         lr=lr_t, b1=b1, b2=b2,
                         weight_decay=tscfg.sparse_weight_decay,
+                        routing=tscfg.update_routing,
+                        capacity_factor=tscfg.update_capacity_factor,
                     )
                 )
                 continue
