@@ -53,6 +53,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from ttamm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from __graft_entry__ import _model_cfg_dict
     from ttamm_tpu.models import parse_model_config
     from ttamm_tpu.parallel import (
@@ -206,13 +210,49 @@ def main() -> None:
     )
     print(json.dumps(results[-1]), flush=True)
 
+    # Round-5 leg: shard-owner update routing on the 1x1 mesh. Its wire
+    # win (~1/mp) is unmeasurable on one chip; what IS measurable is the
+    # cost side — the extra local coalesce/compact + the overflow-cond
+    # plumbing — as step overhead vs the allgather mesh step.
+    state = create_train_state(
+        jax.random.key(0), cfg, num_users=num_users, num_items=num_items
+    )
+    own_pstate = place_state(mesh, pad_state_rows(state, 1))
+    del state
+    own_run = make_sharded_multi_train_step(
+        cfg, tscfg._replace(update_routing="owner"), mesh, own_pstate, pdata
+    )
+    st_o, losses = own_run(own_pstate, pdata, u_all, p_all, jax.random.key(0))
+    (lo,) = _sync(losses)
+    best_o = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        st_o, losses = own_run(st_o, pdata, u_all, p_all, jax.random.key(rep + 1))
+        _sync(losses)
+        best_o = min(best_o, time.perf_counter() - t0)
+    del st_o
+    results.append(
+        {
+            "config": f"mesh_1x1_owner_routing_{args.loss}",
+            "step_ms": round(1000 * best_o / steps, 3),
+            "first_loss": round(float(np.asarray(lo).reshape(-1)[0]), 6),
+        }
+    )
+    print(json.dumps(results[-1]), flush=True)
+
     single_ms = results[0]["step_ms"]
     mesh_ms = results[1]["step_ms"]
+    owner_ms = results[2]["step_ms"]
     loss_match = abs(results[0]["first_loss"] - results[1]["first_loss"]) < 1e-4
+    owner_loss_match = (
+        abs(results[0]["first_loss"] - results[2]["first_loss"]) < 1e-4
+    )
     verdict = {
         "config": "summary",
         "mesh_over_single_ratio": round(mesh_ms / single_ms, 3),
+        "owner_over_mesh_ratio": round(owner_ms / mesh_ms, 3),
         "first_loss_match": bool(loss_match),
+        "owner_first_loss_match": bool(owner_loss_match),
         "pallas_in_mesh_program": n_custom > 0,
         "ok": bool(loss_match and n_custom > 0 and mesh_ms / single_ms < 1.15),
     }

@@ -797,7 +797,10 @@ def test_owner_routing_unit_variants():
     zeros = jnp.zeros((ROWS, D), jnp.float32)
     idx = jnp.asarray(rng.integers(0, ROWS, N).astype(np.int32))
     grads = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    # 1x8 covers the dp==1 static branch (second coalesce skipped:
+    # compacted lanes are already sorted-unique, sentinels at the tail).
     mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    mesh_dp1 = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
     tdev = jax.device_put(table, NamedSharding(mesh, P("model", None)))
 
     def run(routing, g):
@@ -825,3 +828,14 @@ def test_owner_routing_unit_variants():
     # coalesced sums) stays within the Adam step-1 envelope (~2x lr).
     bf_tbl, _ = run("owner", grads.astype(jnp.bfloat16))
     assert np.allclose(np.asarray(bf_tbl), np.asarray(ref_tbl), atol=2.5e-2)
+
+    # dp == 1 (model-only 1x8 mesh): the skipped second coalesce must not
+    # change the result.
+    st1 = SparseAdamState(m=zeros, v=zeros, step=jnp.asarray(0, jnp.int32))
+    t1dev = jax.device_put(table, NamedSharding(mesh_dp1, P("model", None)))
+    dp1_tbl, _ = jax.jit(
+        lambda t, s, i, g: sharded_sparse_adam_update(
+            mesh_dp1, t, s, i, g, lr=1e-2, routing="owner", interpret=True
+        )
+    )(t1dev, st1, idx, grads)
+    assert np.allclose(np.asarray(dp1_tbl), np.asarray(ref_tbl), atol=1e-5)

@@ -288,13 +288,23 @@ def sharded_sparse_adam_update(
             g_all = _widen(
                 jax.lax.all_gather(g_c, DATA_AXIS, axis=0, tiled=True)
             )
-            # Cross-data-shard coalesce: the same row touched by two data
-            # shards arrives once per shard. Sentinel -1 capacity padding
-            # sorts to the front as one masked run (head_init=-2 keeps
-            # lane 0 a head even when it is a sentinel).
-            s2, g2_coal, _, _ = _coalesce_sorted(
-                idx_all, g_all, head_init=-2
-            )
+            if dp == 1:
+                # One data shard (1xN model-only meshes, 1x1 checks):
+                # the compacted lanes are already sorted-unique coalesced
+                # totals — the cross-shard coalesce is a no-op. Skipping
+                # it removes most of the owner path's compute overhead
+                # (sentinel padding sits at the TAIL here; the masked
+                # kernels skip trailing blocks just like leading ones).
+                s2, g2_coal = idx_all, g_all
+            else:
+                # Cross-data-shard coalesce: the same row touched by two
+                # data shards arrives once per shard. Sentinel -1
+                # capacity padding sorts to the front as one masked run
+                # (head_init=-2 keeps lane 0 a head even when it is a
+                # sentinel).
+                s2, g2_coal, _, _ = _coalesce_sorted(
+                    idx_all, g_all, head_init=-2
+                )
             lane_idx = jnp.where(
                 s2 >= 0, s2 - shard * rows_per_shard, -1
             )

@@ -639,6 +639,17 @@ def run_single_experiment(
         ),
         opt=parse_dense_opt_config(training_config, total_steps=total_opt_steps),
     )
+    if tscfg.update_routing != "allgather" and (
+        mesh is None
+        or tscfg.use_pallas is False
+        or (tscfg.use_pallas is None and jax.default_backend() != "tpu")
+    ):
+        logger.warning(
+            "training.update_routing=%s has no effect: it applies to the "
+            "shard_map Pallas sparse-update path (mesh + use_pallas). "
+            "Single-chip runs and the GSPMD/XLA path use their own "
+            "exchange.", tscfg.update_routing,
+        )
     train_step = make_train_step(
         model_cfg, tscfg, mesh=mesh, tensor_parallel=tensor_parallel
     )
