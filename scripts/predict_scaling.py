@@ -114,6 +114,13 @@ def main() -> None:
         "otherwise (owner routings only exist there).",
     )
     parser.add_argument(
+        "--tensor-parallel", action="store_true",
+        help="shard dense tower params (and their AdamW moments) over the "
+        "model axis: their grad reduction then rides the data axis only "
+        "(group dp instead of dp*mp) — the dominant residual term once "
+        "owner routing shrinks the row-grad exchange.",
+    )
+    parser.add_argument(
         "--mimic-sparse", action="store_true",
         help="mimic aug tables on sparse-row Adam (the at-scale optimizer "
         "choice; dense aug tables force global-batch row-grad replication)",
@@ -251,7 +258,10 @@ def main() -> None:
                 ),
             )
             batch = args.batch_per_chip * dp
-            step = make_sharded_train_step(cfg, tscfg, mesh, pstate, data_sds)
+            step = make_sharded_train_step(
+                cfg, tscfg, mesh, pstate, data_sds,
+                tensor_parallel=args.tensor_parallel,
+            )
             compiled = step.lower(
                 pstate, data_sds,
                 sds((batch,), jnp.int32), sds((batch,), jnp.int32), key_sds,
@@ -279,6 +289,7 @@ def main() -> None:
                         "comm_dtype": args.comm_dtype,
                         "mimic_sparse": args.mimic_sparse,
                         "update_routing": args.update_routing,
+                        "tensor_parallel": args.tensor_parallel,
                         "sparse_path": "pallas" if use_pallas else "gspmd",
                         "mesh": f"{dp}x{mp}",
                         "devices": dp * mp,
