@@ -723,13 +723,18 @@ def test_sharded_step_owner_routing_matches_single_device():
         update_routing="allgather"
     ))(state, data, u, p, key)
 
-    for dp, mp in ((4, 2), (2, 4)):
+    # The (2,4) case additionally turns on tensor parallelism: owner
+    # routing (sparse tables) and TP (dense params) must compose.
+    for dp, mp, tp in ((4, 2, False), (2, 4, True)):
         mesh = build_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
         pstate = place_state(
-            mesh, pad_state_rows(jax.tree.map(jnp.copy, state), mp)
+            mesh, pad_state_rows(jax.tree.map(jnp.copy, state), mp),
+            tensor_parallel=tp,
         )
         pdata = place_data(mesh, pad_batch_data(data, mp))
-        sharded = make_sharded_train_step(cfg, tscfg, mesh, pstate, pdata)
+        sharded = make_sharded_train_step(
+            cfg, tscfg, mesh, pstate, pdata, tensor_parallel=tp
+        )
         new_state, metrics = sharded(pstate, pdata, u, p, key)
 
         assert float(metrics["loss"]) == pytest.approx(
